@@ -1,0 +1,54 @@
+"""K-hop border sets for each connected component of each subgraph.
+
+Reference: SubGNN/SubGNN.py:673-747 + subgraph_utils.py:146-176. The border
+set of a CC is the union of radius-k ego graphs around its nodes minus the
+CC itself, padded to (n_subgraphs, max_n_cc, max_border_len) with PAD=0.
+
+NOTE a deliberate deviation: when the reference loads a precomputed
+ego_graphs.txt it uses the 1-hop ego lists regardless of the configured
+radius AND mixes their 0-based ids with its 1-based node ids
+(subgraph_utils.py:165-170) — an off-by-one. We always compute the correct
+radius-k, 1-based border sets from CSR; pass shift_compat=True to reproduce
+the reference's file-loading behavior bit-for-bit for parity studies.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.graph import CSRGraph
+
+PAD_VALUE = 0
+
+
+def compute_border_sets(graph: CSRGraph, cc_ids: np.ndarray, radius: int,
+                        shift_compat: bool = False) -> np.ndarray:
+    """(n_subgraphs, max_n_cc, max_border_len) int32, PAD=0."""
+    n_sub, max_n_cc, _ = cc_ids.shape
+    all_sets = []
+    for s in range(n_sub):
+        row = []
+        for c in range(max_n_cc):
+            comp = cc_ids[s, c]
+            comp = comp[comp != PAD_VALUE]
+            if comp.size == 0:
+                row.append(np.zeros(0, dtype=np.int32))
+                continue
+            if shift_compat:
+                # reference quirk: 1-hop ego lists in RAW 0-based ids,
+                # minus the 1-based component set
+                nbhd = set()
+                for v in comp:
+                    nbhd.update((graph.neighbors(int(v)) - 1).tolist())
+                border = nbhd - set(int(v) for v in comp)
+            else:
+                nbhd = graph.khop_neighborhood(comp.tolist(), radius)
+                border = nbhd - set(int(v) for v in comp)
+            row.append(np.asarray(sorted(border), dtype=np.int32))
+        all_sets.append(row)
+    max_len = max((len(b) for row in all_sets for b in row), default=1)
+    max_len = max(max_len, 1)
+    out = np.full((n_sub, max_n_cc, max_len), PAD_VALUE, dtype=np.int32)
+    for s, row in enumerate(all_sets):
+        for c, b in enumerate(row):
+            out[s, c, :len(b)] = b
+    return out

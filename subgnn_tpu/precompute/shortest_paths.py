@@ -1,0 +1,133 @@
+"""All-pairs BFS shortest-path matrix.
+
+Replaces the reference's SNAP-based precompute
+(reference: prepare_dataset/precompute_graph_metrics.py:20-70), preserving its
+output contract: a dense (n_raw, n_raw) float matrix indexed by RAW 0-based
+node id where entry [s, d] is the hop distance and UNREACHED nodes are left
+at 0 (the np.zeros fill artifact at precompute_graph_metrics.py:23-26).
+
+Two backends:
+  * 'host'   — vectorized frontier-expansion BFS over the CSR arrays in
+               NumPy (scipy-free, C-speed via bincount/flatnonzero).
+  * 'device' — iterated masked SpMV on TPU: the frontier of a chunk of
+               sources is a (S, n) bool matrix; one step is a bool matmul
+               against the dense adjacency (MXU-friendly for n up to a few
+               thousand). Used for synthetic-scale graphs; large graphs
+               stay on the host path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.graph import CSRGraph
+
+
+def _bfs_from_sources_host(graph: CSRGraph, sources: np.ndarray) -> np.ndarray:
+    """(len(sources), n_nodes) int32 hop distances, unreached = 0."""
+    n = graph.n_nodes
+    indptr, indices = graph.indptr, graph.indices
+    out = np.zeros((len(sources), n), dtype=np.int32)
+    for i, s in enumerate(sources):
+        dist = out[i]
+        visited = np.zeros(n + 1, dtype=bool)
+        visited[s] = True
+        frontier = np.array([s], dtype=np.int64)
+        d = 0
+        while frontier.size:
+            d += 1
+            # gather all neighbors of the frontier in one shot
+            starts = indptr[frontier]
+            ends = indptr[frontier + 1]
+            total = int((ends - starts).sum())
+            if total == 0:
+                break
+            nbr = np.empty(total, dtype=np.int64)
+            pos = 0
+            for st, en in zip(starts, ends):
+                nbr[pos:pos + (en - st)] = indices[st:en]
+                pos += en - st
+            new = np.unique(nbr[~visited[nbr]])
+            if new.size == 0:
+                break
+            visited[new] = True
+            dist[new - 1] = d  # raw 0-based output indexing
+            frontier = new
+    return out
+
+
+def _bfs_device(graph: CSRGraph, chunk: int = 256) -> np.ndarray:
+    """Dense-adjacency BFS on the default JAX device.
+
+    dist[k] is written when a node first enters the frontier at step k; the
+    loop runs until every frontier is empty (lax.while_loop, no host sync
+    per level).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = graph.n_nodes
+    # dense adjacency over raw 0-based ids
+    adj = np.zeros((n, n), dtype=bool)
+    for v in range(1, n + 1):
+        adj[v - 1, graph.neighbors(v) - 1] = True
+    adj = jnp.asarray(adj)
+
+    @jax.jit
+    def bfs_chunk(src_onehot):
+        # src_onehot: (S, n) bool
+        def cond(state):
+            frontier, visited, dist, d = state
+            return frontier.any()
+
+        def body(state):
+            frontier, visited, dist, d = state
+            nxt = (frontier.astype(jnp.float32) @ adj.astype(jnp.float32)) > 0
+            new = nxt & ~visited
+            dist = jnp.where(new, d + 1, dist)
+            return new, visited | new, dist, d + 1
+
+        visited = src_onehot
+        dist = jnp.zeros(src_onehot.shape, jnp.int32)
+        frontier = src_onehot
+        _, _, dist, _ = jax.lax.while_loop(cond, body, (frontier, visited, dist, jnp.int32(0)))
+        return dist
+
+    out = np.zeros((n, n), dtype=np.int32)
+    eye = np.eye(n, dtype=bool)
+    for start in range(0, n, chunk):
+        rows = eye[start:start + chunk]
+        if rows.shape[0] < chunk:  # pad to static shape
+            pad = np.zeros((chunk - rows.shape[0], n), dtype=bool)
+            res = np.asarray(bfs_chunk(jnp.asarray(np.concatenate([rows, pad]))))
+            out[start:start + rows.shape[0]] = res[: rows.shape[0]]
+        else:
+            out[start:start + chunk] = np.asarray(bfs_chunk(jnp.asarray(rows)))
+    return out
+
+
+def shortest_path_matrix(graph: CSRGraph, backend: str = "auto") -> np.ndarray:
+    """Dense (n, n) all-pairs hop-distance matrix over RAW 0-based ids.
+
+    backend: 'host' | 'device' | 'auto' (device for n <= 4096).
+    """
+    n = graph.n_nodes
+    if backend == "auto":
+        backend = "device" if n <= 4096 else "host"
+    if backend == "device":
+        return _bfs_device(graph)
+    sources = np.arange(1, n + 1, dtype=np.int64)
+    return _bfs_from_sources_host(graph, sources)
+
+
+def ego_graphs_1hop(graph: CSRGraph) -> dict:
+    """{raw 0-based id: [raw 0-based 1-hop neighbor ids]} — same content as
+    the reference's ego_graphs.txt (precompute_graph_metrics.py:34-45)."""
+    return {v - 1: (graph.neighbors(v) - 1).tolist()
+            for v in range(1, graph.n_nodes + 1)}
+
+
+def degree_dict(graph: CSRGraph) -> dict:
+    """{raw 0-based id: degree} — same content as degree_sequence.txt
+    (precompute_graph_metrics.py:47-59)."""
+    deg = graph.degrees
+    return {v - 1: int(deg[v]) for v in range(1, graph.n_nodes + 1)}

@@ -1,0 +1,172 @@
+import numpy as np
+import networkx as nx
+import pytest
+
+from subgnn_tpu.data.graph import CSRGraph
+from subgnn_tpu.data.dataset import initialize_cc_ids
+from subgnn_tpu.precompute.shortest_paths import (
+    shortest_path_matrix, ego_graphs_1hop, degree_dict)
+from subgnn_tpu.precompute.border import compute_border_sets
+from subgnn_tpu.precompute.degree import degree_sequences
+from subgnn_tpu.precompute.dtw import (
+    dtw_distance_batch, dtw_similarity_matrix, dtw_host)
+from subgnn_tpu.precompute.similarities import (
+    compute_shortest_path_similarities, compute_structure_similarities)
+
+
+def to_csr(g):
+    edges = np.asarray(list(g.edges()), dtype=np.int64) + 1
+    return CSRGraph.from_edges(edges, n_nodes=max(g.nodes()) + 1)
+
+
+@pytest.fixture(params=["host", "device"])
+def sp_backend(request):
+    return request.param
+
+
+def test_shortest_paths_vs_networkx(small_graph, sp_backend):
+    csr = to_csr(small_graph)
+    sp = shortest_path_matrix(csr, backend=sp_backend)
+    expect = dict(nx.all_pairs_shortest_path_length(small_graph))
+    for s in small_graph.nodes():
+        for d in small_graph.nodes():
+            assert sp[s, d] == expect[s].get(d, 0)
+
+
+def test_shortest_paths_disconnected():
+    # two components: 1-2-3 and 4-5 (1-based); unreached entries stay 0
+    g = CSRGraph.from_edges(np.array([[1, 2], [2, 3], [4, 5]]), n_nodes=5)
+    for backend in ("host", "device"):
+        sp = shortest_path_matrix(g, backend=backend)
+        assert sp[0, 1] == 1 and sp[0, 2] == 2
+        assert sp[0, 3] == 0 and sp[0, 4] == 0  # unreached = 0 quirk
+        assert sp[3, 4] == 1
+
+
+def test_ego_and_degree_dicts(small_graph):
+    csr = to_csr(small_graph)
+    ego = ego_graphs_1hop(csr)
+    deg = degree_dict(csr)
+    for v in small_graph.nodes():
+        assert sorted(ego[v]) == sorted(small_graph.neighbors(v))
+        assert deg[v] == small_graph.degree(v)
+
+
+def test_border_sets(small_graph, rng):
+    csr = to_csr(small_graph)
+    subgraphs = [(rng.choice(60, size=6, replace=False) + 1).tolist()
+                 for _ in range(5)]
+    cc_ids = initialize_cc_ids(csr, subgraphs)
+    for radius in (1, 2):
+        border = compute_border_sets(csr, cc_ids, radius)
+        for s in range(len(subgraphs)):
+            for c in range(cc_ids.shape[1]):
+                comp = cc_ids[s, c]
+                comp = comp[comp != 0]
+                got = set(border[s, c][border[s, c] != 0].tolist())
+                if comp.size == 0:
+                    assert got == set()
+                    continue
+                expect = set()
+                for v in comp:
+                    expect |= {n + 1 for n in
+                               nx.ego_graph(small_graph, int(v) - 1,
+                                            radius=radius).nodes()}
+                expect -= {int(v) for v in comp}
+                assert got == expect
+
+
+def test_degree_sequences(small_graph, rng):
+    csr = to_csr(small_graph)
+    sets = np.zeros((4, 8), dtype=np.int32)
+    for i in range(3):
+        nodes = rng.choice(60, size=5, replace=False) + 1
+        sets[i, :5] = nodes
+    seqs, lens = degree_sequences(csr, sets, internal=True)
+    seqs_b, lens_b = degree_sequences(csr, sets, internal=False)
+    for i in range(3):
+        nodes = sets[i][sets[i] != 0]
+        sub = small_graph.subgraph([n - 1 for n in nodes])
+        internal = sorted(sub.degree(n - 1) for n in nodes)
+        external = sorted(small_graph.degree(n - 1) - sub.degree(n - 1)
+                          for n in nodes)
+        assert seqs[i, :5].tolist() == internal and lens[i] == 5
+        assert seqs_b[i, :5].tolist() == external and lens_b[i] == 5
+    assert lens[3] == 0
+
+
+def test_dtw_matches_host_oracle(rng):
+    import jax.numpy as jnp
+    N, La, Lb = 16, 9, 7
+    lens_a = rng.integers(1, La + 1, N)
+    lens_b = rng.integers(1, Lb + 1, N)
+    a = np.zeros((N, La), np.float32)
+    b = np.zeros((N, Lb), np.float32)
+    for i in range(N):
+        a[i, :lens_a[i]] = np.sort(rng.integers(0, 10, lens_a[i]))
+        b[i, :lens_b[i]] = np.sort(rng.integers(0, 10, lens_b[i]))
+    got = np.asarray(dtw_distance_batch(jnp.asarray(a), jnp.asarray(lens_a),
+                                        jnp.asarray(b), jnp.asarray(lens_b)))
+    for i in range(N):
+        expect = dtw_host(a[i, :lens_a[i]], b[i, :lens_b[i]])
+        assert abs(got[i] - expect) < 1e-4, (i, got[i], expect)
+
+
+def test_dtw_empty_sequences():
+    import jax.numpy as jnp
+    a = jnp.zeros((2, 4)); b = jnp.ones((2, 3))
+    d = dtw_distance_batch(a, jnp.array([0, 2]), b, jnp.array([3, 0]))
+    assert np.allclose(np.asarray(d), 0.0)
+
+
+def test_dtw_vs_fastdtw_if_available(rng):
+    fastdtw = pytest.importorskip("fastdtw")
+    # exact DTW must be <= fastdtw's approximation
+    from subgnn_tpu.precompute.dtw import dtw_host as exact
+
+    def calc_dist(x, y):
+        return (max(x, y) + 1) / (min(x, y) + 1) - 1
+
+    for _ in range(20):
+        a = np.sort(rng.integers(0, 8, rng.integers(1, 12)))
+        b = np.sort(rng.integers(0, 8, rng.integers(1, 12)))
+        approx, _ = fastdtw.fastdtw(a, b, dist=calc_dist)
+        assert exact(a, b) <= approx + 1e-9
+
+
+def test_shortest_path_similarities(small_graph, rng):
+    csr = to_csr(small_graph)
+    subgraphs = [(rng.choice(60, size=5, replace=False) + 1).tolist()
+                 for _ in range(4)]
+    cc_ids = initialize_cc_ids(csr, subgraphs)
+    sp = shortest_path_matrix(csr, backend="host")
+    sims = compute_shortest_path_similarities(sp, cc_ids)
+    assert sims.shape == (4, cc_ids.shape[1], 60)
+    for s in range(4):
+        for c in range(cc_ids.shape[1]):
+            comp = cc_ids[s, c]
+            comp = comp[comp != 0]
+            if comp.size == 0:
+                assert np.all(sims[s, c] == 0)
+            else:
+                expect = sp[comp - 1].min(axis=0)
+                assert np.allclose(sims[s, c], expect)
+
+
+def test_structure_similarities(small_graph, rng):
+    csr = to_csr(small_graph)
+    subgraphs = [(rng.choice(60, size=5, replace=False) + 1).tolist()
+                 for _ in range(3)]
+    cc_ids = initialize_cc_ids(csr, subgraphs)
+    anchors = np.zeros((4, 6), dtype=np.int32)
+    for i in range(4):
+        anchors[i, :4] = rng.choice(60, size=4, replace=False) + 1
+    sims = compute_structure_similarities(csr, cc_ids, anchors, internal=True)
+    assert sims.shape == (3, cc_ids.shape[1], 4)
+    # oracle for one pair
+    from subgnn_tpu.precompute.degree import degree_sequences as ds
+    cseq, clen = ds(csr, cc_ids.reshape(-1, cc_ids.shape[2]), internal=True)
+    aseq, alen = ds(csr, anchors, internal=True)
+    expect = 1.0 / (dtw_host(cseq[0, :clen[0]], aseq[1, :alen[1]]) + 1.0)
+    assert abs(sims[0, 0, 1] - expect) < 1e-5
+    assert np.all(sims[:, :, :][cc_ids[:, :, 0] == 0] == 0)
