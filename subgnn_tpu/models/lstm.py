@@ -1,0 +1,94 @@
+"""Bidirectional multi-layer LSTM with a linear head, via lax.scan.
+
+Encodes structure-channel anchor-patch random walks
+(reference: SubGNN/SubGNN.py:60-88 wraps cuDNN nn.LSTM; walk lengths are
+10-26 so a fused scan over time with a large batch of walks keeps the MXU
+busy — each scan step is a (batch, in) x (in, 4h) matmul).
+
+Semantics match torch.nn.LSTM:
+  * gate order i, f, g, o; c' = f*c + i*g; h' = o*tanh(c'),
+  * bidirectional: per-timestep output is [h_fwd_t ; h_bwd_t] where the
+    backward direction scans from the end,
+  * stacked layers consume the 2h concatenated outputs of the layer below,
+    with dropout between layers only (applied in train mode),
+  * weight init U(-1/sqrt(h), 1/sqrt(h)).
+Aggregator 'last' takes timestep -1 (even if it is padding — the reference
+runs the LSTM over zero-padded walks without masking, quirk preserved);
+'sum' sums over time. A final Linear(2h -> n_features) projects back.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+def init_lstm_params(key, n_features: int, h: int, num_layers: int = 1):
+    """Parameter pytree for the bi-LSTM + linear head."""
+    bound = 1.0 / jnp.sqrt(h)
+    layers = []
+    for l in range(num_layers):
+        in_dim = n_features if l == 0 else 2 * h
+        dirs = []
+        for _ in range(2):  # forward, backward
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            dirs.append({
+                "w_ih": _uniform(k1, (in_dim, 4 * h), bound),
+                "w_hh": _uniform(k2, (h, 4 * h), bound),
+                "b_ih": _uniform(k3, (4 * h,), bound),
+                "b_hh": _uniform(k4, (4 * h,), bound),
+            })
+        layers.append({"fwd": dirs[0], "bwd": dirs[1]})
+    key, k1, k2 = jax.random.split(key, 3)
+    head_bound = 1.0 / jnp.sqrt(2 * h)
+    return {
+        "layers": layers,
+        "head": {"w": _uniform(k1, (2 * h, n_features), head_bound),
+                 "b": _uniform(k2, (n_features,), head_bound)},
+    }
+
+
+def _cell_scan(p, x, reverse: bool):
+    """Run one direction over (B, T, in) -> (B, T, h)."""
+    B = x.shape[0]
+    h_dim = p["w_hh"].shape[0]
+    xw = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"])  # (B, T, 4h), precomputed
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ p["w_hh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, h_dim), x.dtype), jnp.zeros((B, h_dim), x.dtype))
+    _, hs = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1), reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)  # (B, T, h)
+
+
+def lstm_forward(params, x, *, aggregator: str = "last",
+                 dropout: float = 0.0, train: bool = False, rng=None):
+    """x: (B, T, n_features) -> (B, n_features)."""
+    out = x
+    n_layers = len(params["layers"])
+    for li, layer in enumerate(params["layers"]):
+        fwd = _cell_scan(layer["fwd"], out, reverse=False)
+        bwd = _cell_scan(layer["bwd"], out, reverse=True)
+        out = jnp.concatenate([fwd, bwd], axis=-1)  # (B, T, 2h)
+        if train and dropout > 0.0 and li < n_layers - 1:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+            out = jnp.where(keep, out / (1.0 - dropout), 0.0)
+    if aggregator == "last":
+        agg = out[:, -1, :]
+    elif aggregator == "sum":
+        agg = out.sum(axis=1)
+    else:
+        raise NotImplementedError(aggregator)
+    return agg @ params["head"]["w"] + params["head"]["b"]

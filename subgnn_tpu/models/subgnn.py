@@ -1,0 +1,364 @@
+"""The SubGNN model: three property channels x {internal, border} x layers.
+
+A functional re-design of the reference LightningModule forward pass
+(reference: SubGNN/SubGNN.py:90-312) as a pure params/arrays function that
+jits whole. Per layer and channel the message passing is the dense masked
+einsum of models/mpn.py; structure anchor patches are encoded by the
+lax.scan bi-LSTM of models/lstm.py inside the forward pass (gradients flow
+into the LSTM exactly as in the reference hot loop,
+anchor_patch_samplers.py:381-394,413-433).
+
+Output layout per layer (reference: SubGNN.py:260-291, order preserved):
+  neighborhood -> [N_in_cc (D), N_out_cc (D)]
+  position     -> [P_in_prop (A_P_in), P_out_prop (A_P_out)]
+  structure    -> [S_in_prop (A_S), S_out_prop (A_S)]
+concatenated after the initial CC embedding (D), masked-summed over CCs,
+then a 3-layer MLP head (SubGNN.py:295-310).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HParams
+from .lstm import init_lstm_params, lstm_forward
+from .mpn import init_mpn_params, mpn_layer
+from . import attention as attn
+
+PAD_VALUE = 0
+
+CHANNEL_CC_KEYS = ("N_I", "N_B", "S_I", "S_B", "P_I", "P_B")
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+def _linear_init(key, d_in, d_out):
+    k1, k2 = jax.random.split(key)
+    b = 1.0 / jnp.sqrt(d_in)
+    return {"w": _uniform(k1, (d_in, d_out), b), "b": _uniform(k2, (d_out,), b)}
+
+
+def _bn_init(dim):
+    return {"scale": jnp.ones(dim), "bias": jnp.zeros(dim)}
+
+
+def _bn_state_init(dim):
+    return {"mean": jnp.zeros(dim), "var": jnp.ones(dim)}
+
+
+class SubGNNModel:
+    """Static model definition; parameters live in explicit pytrees."""
+
+    def __init__(self, hp: HParams, n_nodes: int, num_classes: int,
+                 multilabel: bool):
+        self.hp = hp
+        self.n_nodes = n_nodes
+        self.num_classes = num_classes
+        self.multilabel = multilabel
+
+    # ------------------------------------------------------------------ dims
+
+    @property
+    def hid_dim(self) -> int:
+        """Readout width (reference: SubGNN.py:118-147)."""
+        hp = self.hp
+        d = hp.node_embed_size
+        if hp.use_neighborhood:
+            d += hp.n_layers * 2 * hp.node_embed_size
+        if hp.use_position:
+            d += (hp.n_anchor_patches_pos_in + hp.n_anchor_patches_pos_out) * hp.n_layers
+        if hp.use_structure:
+            d += 2 * hp.n_anchor_patches_structure * hp.n_layers
+        return d
+
+    # ------------------------------------------------------------------ init
+
+    def init_params(self, key, pretrained_embeds: np.ndarray,
+                    train_cc_init: Optional[Dict[str, np.ndarray]] = None):
+        """Build the parameter pytree.
+
+        pretrained_embeds: (n_nodes, D) WITHOUT the pad row; a zero row is
+        prepended (reference: SubGNN.py:562-568).
+        train_cc_init: when trainable_cc, initial per-channel train-split CC
+        tables (reference: SubGNN.py:624-644).
+        """
+        hp = self.hp
+        D = hp.node_embed_size
+        assert pretrained_embeds.shape[1] == D
+        table = jnp.concatenate(
+            [jnp.zeros((1, D)), jnp.asarray(pretrained_embeds, jnp.float32)], axis=0)
+
+        params: Dict[str, Any] = {"node_embed": table}
+        state: Dict[str, Any] = {}
+
+        channels = {}
+        bn_state = {}
+        for name, used in (("neighborhood", hp.use_neighborhood),
+                           ("position", hp.use_position),
+                           ("structure", hp.use_structure)):
+            if not used:
+                continue
+            layers = []
+            for l in range(hp.n_layers):
+                key, k1, k2 = jax.random.split(key, 3)
+                layer = {"internal": init_mpn_params(k1, D),
+                         "border": init_mpn_params(k2, D)}
+                if hp.batch_norm:
+                    layer["bn_in"] = _bn_init(D)
+                    layer["bn_out"] = _bn_init(D)
+                    bn_state[f"{name}_{l}_in"] = _bn_state_init(D)
+                    bn_state[f"{name}_{l}_out"] = _bn_state_init(D)
+                layers.append(layer)
+            channels[name] = layers
+        params["channels"] = channels
+        if hp.batch_norm:
+            state["bn"] = bn_state
+
+        key, k = jax.random.split(key)
+        params["lstm"] = init_lstm_params(k, D, D, hp.lstm_n_layers)
+
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        params["head"] = {
+            "lin1": _linear_init(k1, self.hid_dim, hp.linear_hidden_dim_1),
+            "lin2": _linear_init(k2, hp.linear_hidden_dim_1, hp.linear_hidden_dim_2),
+            "lin3": _linear_init(k3, hp.linear_hidden_dim_2, self.num_classes),
+        }
+
+        if hp.ff_attn:
+            key, k1, k2 = jax.random.split(key, 3)
+            bound = jnp.sqrt(6.0 / (self.hid_dim + 1))
+            params["attn_vector"] = _uniform(k1, (self.hid_dim,), bound)
+            params["attn"] = attn.init_additive_attention(k2, self.hid_dim,
+                                                          self.hid_dim)
+
+        if hp.trainable_cc and train_cc_init is not None:
+            params["train_cc"] = {k: jnp.asarray(v, jnp.float32)
+                                  for k, v in train_cc_init.items()}
+        return params, state
+
+    # ------------------------------------------------------------- embedding
+
+    @staticmethod
+    def _table(params):
+        # row 0 is the pad embedding and must stay zero even when the table
+        # trains (torch padding_idx semantics, reference SubGNN.py:568)
+        return params["node_embed"].at[0].set(0.0)
+
+    def initialize_cc_embeddings(self, table, cc_ids):
+        """(B, C, L) ids -> (B, C, D) via sum or max INCLUDING pad zeros
+        (reference: SubGNN.py:609-622 does not mask; 'max' therefore clips
+        at 0 — quirk preserved)."""
+        embeds = table[cc_ids]  # (B, C, L, D)
+        if self.hp.cc_aggregator == "sum":
+            return embeds.sum(axis=2)
+        elif self.hp.cc_aggregator == "max":
+            return embeds.max(axis=2)
+        raise NotImplementedError(self.hp.cc_aggregator)
+
+    def _struct_anchor_embeds(self, params, table, walks, *, train, rng):
+        """(A_S, W, L) walk ids -> (A_S, D): LSTM over each walk, sum over
+        walks (reference: anchor_patch_samplers.py:413-433)."""
+        hp = self.hp
+        A_S, W, L = walks.shape
+        walk_embeds = table[walks.reshape(A_S * W, L)]          # (A_S*W, L, D)
+        hidden = lstm_forward(params["lstm"], walk_embeds,
+                              aggregator=hp.lstm_aggregator,
+                              dropout=hp.lstm_dropout, train=train, rng=rng)
+        return hidden.reshape(A_S, W, -1).sum(axis=1)           # (A_S, D)
+
+    def _batch_norm(self, p, s, x, *, train):
+        """BN over the flattened (B*C, D) view incl. padded rows
+        (reference: SubGNN.py:267-290). Returns (y, new_state)."""
+        B, C, D = x.shape
+        flat = x.reshape(B * C, D)
+        if train:
+            mean = flat.mean(axis=0)
+            var = flat.var(axis=0)
+            new_s = {"mean": 0.9 * s["mean"] + 0.1 * mean,
+                     "var": 0.9 * s["var"] + 0.1 * var * (B * C) / max(B * C - 1, 1)}
+        else:
+            mean, var = s["mean"], s["var"]
+            new_s = s
+        y = (flat - mean) / jnp.sqrt(var + 1e-5) * p["scale"] + p["bias"]
+        return y.reshape(B, C, D), new_s
+
+    # --------------------------------------------------------------- forward
+
+    def forward(self, params, state, batch: Dict[str, Any],
+                anchors: Dict[str, Any], *, train: bool, rng,
+                cc_tables: Optional[Dict[str, Any]] = None):
+        """Compute logits for one batch.
+
+        batch: cc_ids (B,C,L) int32; subgraph_idx (B,) int32;
+               NP_sim (B,C,n_nodes); I_S_sim/B_S_sim (B,C,n_pool) as needed.
+        anchors: layer-major anchor arrays for this split (see
+                 sampling/anchors.py layouts).
+        cc_tables: 6 per-channel (N_split, C, D) tables when trainable_cc
+                   (params['train_cc'] for the train split, state tables for
+                   val/test — reference: SubGNN.py:237-250,646-668).
+
+        Returns (logits (B, num_classes), new_state).
+        """
+        hp = self.hp
+        table = self._table(params)
+        cc_ids = batch["cc_ids"]
+        sub_idx = batch["subgraph_idx"]
+        B, C, _ = cc_ids.shape
+        new_state = dict(state)
+        bn_state = dict(state.get("bn", {}))
+
+        init_cc = self.initialize_cc_embeddings(table, cc_ids)   # (B, C, D)
+        cc_mask = cc_ids[:, :, 0] != PAD_VALUE                    # (B, C)
+
+        if hp.trainable_cc and cc_tables is not None:
+            ch_cc = {k: cc_tables[k][sub_idx] for k in CHANNEL_CC_KEYS}
+        else:
+            ch_cc = {k: init_cc for k in CHANNEL_CC_KEYS}
+        N_in, N_out = ch_cc["N_I"], ch_cc["N_B"]
+        P_in, P_out = ch_cc["P_I"], ch_cc["P_B"]
+        S_in, S_out = ch_cc["S_I"], ch_cc["S_B"]
+
+        def np_sims_gather(anchor_ids):
+            # sims[b,c,a] = NP_sim[b, c, anchor_id-1]; invalid slots are
+            # masked downstream (reference: subgraph_mpn.py:91-94)
+            idx = jnp.clip(anchor_ids - 1, 0, batch["NP_sim"].shape[2] - 1)
+            return jnp.take_along_axis(batch["NP_sim"], idx, axis=2)
+
+        outputs = []
+        for l in range(hp.n_layers):
+            if hp.use_neighborhood:
+                layer_p = params["channels"]["neighborhood"][l]
+                a_in = anchors["neigh_int"][l][sub_idx]          # (B, C, A)
+                a_out = anchors["neigh_bor"][l][sub_idx]
+                N_in, _ = mpn_layer(
+                    layer_p["internal"], N_in, table[a_in],
+                    np_sims_gather(a_in), a_in != PAD_VALUE,
+                    use_mpn_projection=hp.use_mpn_projection,
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                N_out, _ = mpn_layer(
+                    layer_p["border"], N_out, table[a_out],
+                    np_sims_gather(a_out), a_out != PAD_VALUE,
+                    use_mpn_projection=hp.use_mpn_projection,
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                if hp.batch_norm:
+                    N_in, bn_state[f"neighborhood_{l}_in"] = self._batch_norm(
+                        layer_p["bn_in"], bn_state[f"neighborhood_{l}_in"],
+                        N_in, train=train)
+                    N_out, bn_state[f"neighborhood_{l}_out"] = self._batch_norm(
+                        layer_p["bn_out"], bn_state[f"neighborhood_{l}_out"],
+                        N_out, train=train)
+                outputs.extend([N_in, N_out])
+
+            if hp.use_position:
+                layer_p = params["channels"]["position"][l]
+                # internal: per-subgraph anchors repeated over CCs, padded
+                # CCs masked (reference: anchor_patch_samplers.py:366-379)
+                a_in = jnp.broadcast_to(
+                    anchors["pos_int"][l][sub_idx][:, None, :],
+                    (B, C, hp.n_anchor_patches_pos_in))
+                a_in = jnp.where(cc_mask[:, :, None], a_in, PAD_VALUE)
+                a_out = jnp.broadcast_to(
+                    anchors["pos_ext"][l][None, None, :],
+                    (B, C, hp.n_anchor_patches_pos_out))
+                a_out = jnp.where(cc_mask[:, :, None], a_out, PAD_VALUE)
+                P_in, P_in_prop = mpn_layer(
+                    layer_p["internal"], P_in, table[a_in],
+                    np_sims_gather(a_in), a_in != PAD_VALUE,
+                    use_mpn_projection=hp.use_mpn_projection,
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                P_out, P_out_prop = mpn_layer(
+                    layer_p["border"], P_out, table[a_out],
+                    np_sims_gather(a_out), a_out != PAD_VALUE,
+                    use_mpn_projection=hp.use_mpn_projection,
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                outputs.extend([P_in_prop, P_out_prop])
+
+            if hp.use_structure:
+                layer_p = params["channels"]["structure"][l]
+                pool_idx = anchors["struc_pool_idx"][l]          # (A_S,)
+                if rng is not None:
+                    rng, r1, r2 = jax.random.split(rng, 3)
+                else:
+                    r1 = r2 = None
+                emb_int = self._struct_anchor_embeds(
+                    params, table, anchors["struc_int_walks"][l],
+                    train=train, rng=r1)                          # (A_S, D)
+                emb_bor = self._struct_anchor_embeds(
+                    params, table, anchors["struc_bor_walks"][l],
+                    train=train, rng=r2)
+                valid = jnp.broadcast_to(cc_mask[:, :, None],
+                                         (B, C, pool_idx.shape[0]))
+
+                def s_sims(sim_matrix):
+                    # sims[b,c,a] = sim_matrix[b, c, pool_idx[a]]
+                    # (reference: subgraph_mpn.py:88,95-99)
+                    return sim_matrix[:, :, pool_idx]
+
+                S_in, S_in_prop = mpn_layer(
+                    layer_p["internal"], S_in,
+                    jnp.broadcast_to(emb_int[None, None],
+                                     (B, C) + emb_int.shape),
+                    s_sims(batch["I_S_sim"]), valid,
+                    use_mpn_projection=hp.use_mpn_projection,
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                S_out, S_out_prop = mpn_layer(
+                    layer_p["border"], S_out,
+                    jnp.broadcast_to(emb_bor[None, None],
+                                     (B, C) + emb_bor.shape),
+                    s_sims(batch["B_S_sim"]), valid,
+                    use_mpn_projection=hp.use_mpn_projection,
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                outputs.extend([S_in_prop, S_out_prop])
+
+        all_cc = jnp.concatenate([init_cc] + outputs, axis=-1)   # (B, C, hid)
+
+        if hp.ff_attn:
+            batched_attn = jnp.broadcast_to(params["attn_vector"][None, :],
+                                            (B, self.hid_dim))
+            weights = attn.additive_attention(params["attn"], batched_attn,
+                                              all_cc, cc_mask)
+            sg_embed = attn.weighted_sum(all_cc, weights)
+        else:
+            sg_embed = attn.masked_sum(all_cc, cc_mask[:, :, None], axis=1)
+
+        # 3-layer head with optional dropout (reference: SubGNN.py:306-310)
+        h = params["head"]
+        x = jax.nn.relu(sg_embed @ h["lin1"]["w"] + h["lin1"]["b"])
+        if train and hp.lin_dropout > 0:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - hp.lin_dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - hp.lin_dropout), 0.0)
+        x = jax.nn.relu(x @ h["lin2"]["w"] + h["lin2"]["b"])
+        if train and hp.lin_dropout > 0:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - hp.lin_dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - hp.lin_dropout), 0.0)
+        logits = x @ h["lin3"]["w"] + h["lin3"]["b"]
+
+        if hp.batch_norm:
+            new_state["bn"] = bn_state
+        return logits, new_state
+
+    # ------------------------------------------------------------------ loss
+
+    def loss_fn(self, logits, labels, valid=None):
+        """BCE-with-logits (multilabel) or softmax CE
+        (reference: SubGNN.py:169-172,337-342). `valid` masks padded rows of
+        short eval batches."""
+        if self.multilabel:
+            lab = labels.astype(logits.dtype)
+            per = jnp.maximum(logits, 0) - logits * lab + jnp.log1p(
+                jnp.exp(-jnp.abs(logits)))
+            per = per.mean(axis=-1)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        if valid is None:
+            return per.mean()
+        w = valid.astype(per.dtype)
+        return (per * w).sum() / jnp.maximum(w.sum(), 1.0)

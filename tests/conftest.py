@@ -9,8 +9,16 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+import jax
+
+# A site customization may have pinned jax_platforms to a TPU platform via
+# jax.config.update (which overrides the env var) — pin it back to CPU.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
 @pytest.fixture

@@ -1,0 +1,269 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subgnn_tpu.config import HParams
+from subgnn_tpu.models.lstm import init_lstm_params, lstm_forward
+from subgnn_tpu.models.mpn import init_mpn_params, mpn_layer
+from subgnn_tpu.models import attention as attn
+from subgnn_tpu.models.subgnn import SubGNNModel, CHANNEL_CC_KEYS
+
+
+# ------------------------------------------------------------------ LSTM
+
+@pytest.mark.parametrize("num_layers,aggregator", [(1, "last"), (2, "sum")])
+def test_lstm_matches_torch(num_layers, aggregator):
+    torch = pytest.importorskip("torch")
+    D, H, B, T = 6, 5, 4, 7
+    params = init_lstm_params(jax.random.PRNGKey(0), D, H, num_layers)
+
+    t_lstm = torch.nn.LSTM(D, H, num_layers=num_layers, batch_first=True,
+                           bidirectional=True)
+    t_lin = torch.nn.Linear(2 * H, D)
+    with torch.no_grad():
+        for l in range(num_layers):
+            for di, dname in enumerate(("fwd", "bwd")):
+                p = params["layers"][l][dname]
+                sfx = "_reverse" if di else ""
+                getattr(t_lstm, f"weight_ih_l{l}{sfx}").copy_(
+                    torch.tensor(np.asarray(p["w_ih"]).T))
+                getattr(t_lstm, f"weight_hh_l{l}{sfx}").copy_(
+                    torch.tensor(np.asarray(p["w_hh"]).T))
+                getattr(t_lstm, f"bias_ih_l{l}{sfx}").copy_(
+                    torch.tensor(np.asarray(p["b_ih"])))
+                getattr(t_lstm, f"bias_hh_l{l}{sfx}").copy_(
+                    torch.tensor(np.asarray(p["b_hh"])))
+        t_lin.weight.copy_(torch.tensor(np.asarray(params["head"]["w"]).T))
+        t_lin.bias.copy_(torch.tensor(np.asarray(params["head"]["b"])))
+
+    x = np.random.default_rng(0).normal(size=(B, T, D)).astype(np.float32)
+    got = np.asarray(lstm_forward(params, jnp.asarray(x), aggregator=aggregator))
+    with torch.no_grad():
+        out, _ = t_lstm(torch.tensor(x))
+        agg = out[:, -1, :] if aggregator == "last" else out.sum(dim=1)
+        expect = t_lin(agg).numpy()
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+# ------------------------------------------------------------------- MPN
+
+def mpn_oracle(params, cc, anchors, sims, valid, use_proj=True):
+    """Edge-list scatter oracle mirroring reference subgraph_mpn.py."""
+    B, C, A, D = anchors.shape
+    w_lin = np.asarray(params["linear"]["w"])
+    b_lin = np.asarray(params["linear"]["b"])
+    w_pos = np.asarray(params["linear_position"]["w"])
+    b_pos = np.asarray(params["linear_position"]["b"])
+    updated = np.zeros((B, C, D), np.float32)
+    prop = np.zeros((B, C, A), np.float32)
+    for b in range(B):
+        for c in range(C):
+            agg = np.zeros(D, np.float32)
+            msgs = np.zeros((A, D), np.float32)  # PAD-filled buffer
+            for a in range(A):
+                if valid[b, c, a]:
+                    m = sims[b, c, a] * anchors[b, c, a]
+                    msgs[a] = m
+                    agg += m
+            if use_proj:
+                x = np.concatenate([cc[b, c], agg])
+                updated[b, c] = np.maximum(x @ w_lin + b_lin, 0)
+            else:
+                updated[b, c] = agg
+            # linear applied to every row incl. zero (masked) ones
+            prop[b, c] = np.maximum((msgs @ w_pos)[:, 0] + b_pos[0], 0)
+    return updated, prop
+
+
+def test_mpn_matches_scatter_oracle(rng):
+    B, C, A, D = 3, 2, 5, 8
+    params = init_mpn_params(jax.random.PRNGKey(1), D)
+    cc = rng.normal(size=(B, C, D)).astype(np.float32)
+    anchors = rng.normal(size=(B, C, A, D)).astype(np.float32)
+    sims = rng.normal(size=(B, C, A)).astype(np.float32)
+    valid = rng.random((B, C, A)) > 0.3
+    for use_proj in (True, False):
+        got_cc, got_prop = mpn_layer(params, jnp.asarray(cc), jnp.asarray(anchors),
+                                     jnp.asarray(sims), jnp.asarray(valid),
+                                     use_mpn_projection=use_proj)
+        exp_cc, exp_prop = mpn_oracle(params, cc, anchors, sims, valid, use_proj)
+        np.testing.assert_allclose(np.asarray(got_cc), exp_cc, atol=1e-5)
+        if use_proj:
+            np.testing.assert_allclose(np.asarray(got_prop), exp_prop, atol=1e-5)
+
+
+# -------------------------------------------------------------- attention
+
+def test_masked_softmax():
+    v = jnp.array([[1.0, 2.0, 3.0]])
+    m = jnp.array([[True, True, False]])
+    out = np.asarray(attn.masked_softmax(v, m))
+    assert out[0, 2] == 0
+    np.testing.assert_allclose(out.sum(), 1.0, atol=1e-6)
+
+
+def test_additive_attention_shapes():
+    p = attn.init_additive_attention(jax.random.PRNGKey(0), 4, 4)
+    vec = jnp.ones((2, 4))
+    mat = jnp.ones((2, 3, 4))
+    w = attn.additive_attention(p, vec, mat, jnp.ones((2, 3), bool))
+    assert w.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+
+
+# ----------------------------------------------------------- full forward
+
+def build_toy(hp, rng, n_nodes=30, n_sub=6, C=2, L=4, n_pool=12):
+    model = SubGNNModel(hp, n_nodes=n_nodes, num_classes=3, multilabel=False)
+    embeds = rng.normal(size=(n_nodes, hp.node_embed_size)).astype(np.float32)
+    params, state = model.init_params(jax.random.PRNGKey(0), embeds)
+
+    cc_ids = np.zeros((n_sub, C, L), np.int32)
+    for s in range(n_sub):
+        n_cc = rng.integers(1, C + 1)
+        for c in range(n_cc):
+            ln = rng.integers(1, L + 1)
+            cc_ids[s, c, :ln] = rng.choice(n_nodes, size=ln, replace=False) + 1
+
+    batch = {
+        "cc_ids": jnp.asarray(cc_ids),
+        "subgraph_idx": jnp.arange(n_sub, dtype=jnp.int32),
+        "NP_sim": jnp.asarray(rng.integers(0, 5, (n_sub, C, n_nodes)).astype(np.float32)),
+        "I_S_sim": jnp.asarray(rng.random((n_sub, C, n_pool)).astype(np.float32)),
+        "B_S_sim": jnp.asarray(rng.random((n_sub, C, n_pool)).astype(np.float32)),
+    }
+    A_Nin, A_Nout = hp.n_anchor_patches_N_in, hp.n_anchor_patches_N_out
+    anchors = {
+        "neigh_int": jnp.asarray(
+            np.where(cc_ids[None, :, :, :1] != 0,
+                     rng.integers(1, n_nodes + 1, (hp.n_layers, n_sub, C, A_Nin)), 0)
+            .astype(np.int32)),
+        "neigh_bor": jnp.asarray(
+            np.where(cc_ids[None, :, :, :1] != 0,
+                     rng.integers(1, n_nodes + 1, (hp.n_layers, n_sub, C, A_Nout)), 0)
+            .astype(np.int32)),
+        "pos_int": jnp.asarray(rng.integers(
+            1, n_nodes + 1, (hp.n_layers, n_sub, hp.n_anchor_patches_pos_in))
+            .astype(np.int32)),
+        "pos_ext": jnp.asarray(rng.integers(
+            1, n_nodes + 1, (hp.n_layers, hp.n_anchor_patches_pos_out))
+            .astype(np.int32)),
+        "struc_pool_idx": jnp.asarray(rng.integers(
+            0, n_pool, (hp.n_layers, hp.n_anchor_patches_structure))
+            .astype(np.int32)),
+        "struc_int_walks": jnp.asarray(rng.integers(
+            0, n_nodes + 1, (hp.n_layers, hp.n_anchor_patches_structure,
+                             hp.n_triangular_walks, hp.random_walk_len))
+            .astype(np.int32)),
+        "struc_bor_walks": jnp.asarray(rng.integers(
+            0, n_nodes + 1, (hp.n_layers, hp.n_anchor_patches_structure,
+                             hp.n_triangular_walks, hp.random_walk_len))
+            .astype(np.int32)),
+    }
+    return model, params, state, batch, anchors, cc_ids
+
+
+HP = HParams(n_layers=2, node_embed_size=8, n_anchor_patches_N_in=3,
+             n_anchor_patches_N_out=4, n_anchor_patches_pos_in=3,
+             n_anchor_patches_pos_out=5, n_anchor_patches_structure=4,
+             n_triangular_walks=2, random_walk_len=5,
+             linear_hidden_dim_1=16, linear_hidden_dim_2=8)
+
+
+def test_forward_shapes_and_hid_dim(rng):
+    model, params, state, batch, anchors, _ = build_toy(HP, rng)
+    logits, _ = model.forward(params, state, batch, anchors, train=False, rng=None)
+    assert logits.shape == (6, 3)
+    D = HP.node_embed_size
+    expect_hid = D + 2 * 2 * D + (3 + 5) * 2 + 2 * 4 * 2
+    assert model.hid_dim == expect_hid
+
+
+def test_forward_jits(rng):
+    model, params, state, batch, anchors, _ = build_toy(HP, rng)
+    f = jax.jit(lambda p, s, b: model.forward(p, s, b, anchors, train=False,
+                                              rng=None))
+    logits, _ = f(params, state, batch)
+    logits2, _ = model.forward(params, state, batch, anchors, train=False, rng=None)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)
+
+
+def test_padded_cc_invariance(rng):
+    """Adding an extra all-padding CC column must not change the logits."""
+    model, params, state, batch, anchors, cc_ids = build_toy(HP, rng)
+    logits, _ = model.forward(params, state, batch, anchors, train=False, rng=None)
+
+    def pad_axis(arr, axis, width=1, value=0):
+        pads = [(0, 0)] * arr.ndim
+        pads[axis] = (0, width)
+        return jnp.asarray(np.pad(np.asarray(arr), pads, constant_values=value))
+
+    batch2 = dict(batch)
+    batch2["cc_ids"] = pad_axis(batch["cc_ids"], 1)
+    batch2["NP_sim"] = pad_axis(batch["NP_sim"], 1)
+    batch2["I_S_sim"] = pad_axis(batch["I_S_sim"], 1)
+    batch2["B_S_sim"] = pad_axis(batch["B_S_sim"], 1)
+    anchors2 = dict(anchors)
+    anchors2["neigh_int"] = pad_axis(anchors["neigh_int"], 2)
+    anchors2["neigh_bor"] = pad_axis(anchors["neigh_bor"], 2)
+    logits2, _ = model.forward(params, state, batch2, anchors2, train=False,
+                               rng=None)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-4)
+
+
+def test_gradients_flow_everywhere(rng):
+    model, params, state, batch, anchors, _ = build_toy(HP, rng)
+    labels = jnp.asarray(np.array([0, 1, 2, 0, 1, 2]))
+
+    def loss(p):
+        logits, _ = model.forward(p, state, batch, anchors, train=True,
+                                  rng=jax.random.PRNGKey(3))
+        return model.loss_fn(logits, labels)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    zero_paths = [jax.tree_util.keystr(p) for p, g in leaves
+                  if float(jnp.abs(g).max()) == 0.0]
+    # the neighborhood channel discards its property embeddings, so its
+    # linear_position heads legitimately see no gradient (as in the
+    # reference, which computes but drops them at SubGNN.py:265-266);
+    # everything else must train
+    zero_paths = [p for p in zero_paths
+                  if not ("neighborhood" in p and "linear_position" in p)]
+    assert not any("head" in p or "lstm" in p or "channels" in p
+                   for p in zero_paths), zero_paths
+
+
+def test_loss_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    model = SubGNNModel(HParams(), 10, 4, multilabel=False)
+    logits = rng.normal(size=(5, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 5)
+    got = float(model.loss_fn(jnp.asarray(logits), jnp.asarray(labels)))
+    expect = float(torch.nn.CrossEntropyLoss()(torch.tensor(logits),
+                                               torch.tensor(labels)))
+    assert abs(got - expect) < 1e-5
+
+    model_ml = SubGNNModel(HParams(), 10, 4, multilabel=True)
+    ml_labels = (rng.random((5, 4)) > 0.5).astype(np.float32)
+    got = float(model_ml.loss_fn(jnp.asarray(logits), jnp.asarray(ml_labels)))
+    expect = float(torch.nn.BCEWithLogitsLoss()(torch.tensor(logits),
+                                                torch.tensor(ml_labels)))
+    assert abs(got - expect) < 1e-5
+
+
+def test_trainable_cc_tables(rng):
+    hp = HP.replace(trainable_cc=True)
+    model = SubGNNModel(hp, n_nodes=30, num_classes=3, multilabel=False)
+    embeds = rng.normal(size=(30, hp.node_embed_size)).astype(np.float32)
+    init_cc = rng.normal(size=(6, 2, hp.node_embed_size)).astype(np.float32)
+    train_cc = {k: init_cc.copy() for k in CHANNEL_CC_KEYS}
+    params, state = model.init_params(jax.random.PRNGKey(0), embeds,
+                                      train_cc_init=train_cc)
+    assert set(params["train_cc"].keys()) == set(CHANNEL_CC_KEYS)
+    _, _, _, batch, anchors, _ = build_toy(hp, np.random.default_rng(0))
+    logits, _ = model.forward(params, state, batch, anchors, train=False,
+                              rng=None, cc_tables=params["train_cc"])
+    assert logits.shape == (6, 3)
