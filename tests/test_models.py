@@ -226,12 +226,18 @@ def test_gradients_flow_everywhere(rng):
     leaves = jax.tree_util.tree_leaves_with_path(grads)
     zero_paths = [jax.tree_util.keystr(p) for p, g in leaves
                   if float(jnp.abs(g).max()) == 0.0]
-    # the neighborhood channel discards its property embeddings, so its
-    # linear_position heads legitimately see no gradient (as in the
-    # reference, which computes but drops them at SubGNN.py:265-266);
-    # everything else must train
-    zero_paths = [p for p in zero_paths
-                  if not ("neighborhood" in p and "linear_position" in p)]
+    # Structurally-dead parameters (identical in the reference):
+    #  * neighborhood linear_position: N discards property embeddings
+    #    (SubGNN.py:265-266 keeps only cc embeds),
+    #  * position/structure update 'linear': P/S updated cc embeds feed only
+    #    the next layer's update and are never read out (outputs take only
+    #    the property embeddings, SubGNN.py:281,291).
+    def expected_dead(p):
+        return (("neighborhood" in p and "linear_position" in p)
+                or (("position" in p or "structure" in p)
+                    and "['linear']" in p))
+
+    zero_paths = [p for p in zero_paths if not expected_dead(p)]
     assert not any("head" in p or "lstm" in p or "channels" in p
                    for p in zero_paths), zero_paths
 
