@@ -231,15 +231,27 @@ def test_gradients_flow_everywhere(rng):
     #    (SubGNN.py:265-266 keeps only cc embeds),
     #  * position/structure update 'linear': P/S updated cc embeds feed only
     #    the next layer's update and are never read out (outputs take only
-    #    the property embeddings, SubGNN.py:281,291).
+    #    the property embeddings, SubGNN.py:281,291),
+    #  * lstm bwd w_hh with 1 layer + 'last' aggregator: the backward hidden
+    #    at the last timestep has consumed exactly one input (h=0 before it),
+    #  * an occasional fully-dead relu in a P/S linear_position (only A_S
+    #    distinct anchor embeds feed it) — tolerated, not required.
     def expected_dead(p):
         return (("neighborhood" in p and "linear_position" in p)
                 or (("position" in p or "structure" in p)
-                    and "['linear']" in p))
+                    and "['linear']" in p)
+                or ("bwd" in p and "w_hh" in p)
+                or (("position" in p or "structure" in p)
+                    and "linear_position" in p))
 
     zero_paths = [p for p in zero_paths if not expected_dead(p)]
     assert not any("head" in p or "lstm" in p or "channels" in p
-                   for p in zero_paths), zero_paths
+                   or "node_embed" in p for p in zero_paths), zero_paths
+    # at least some property heads must be alive
+    alive_prop = [jax.tree_util.keystr(p) for p, g in leaves
+                  if float(jnp.abs(g).max()) > 0.0
+                  and "linear_position" in jax.tree_util.keystr(p)]
+    assert len(alive_prop) >= 4, alive_prop
 
 
 def test_loss_matches_torch(rng):
