@@ -1,0 +1,141 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subgnn_tpu.config import HParams
+from subgnn_tpu.train import metrics as M
+from subgnn_tpu.train.loop import Trainer
+from subgnn_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint, load_params_filtered, TopKCheckpoints)
+from subgnn_tpu.models.subgnn import SubGNNModel
+
+
+# ----------------------------------------------------------------- metrics
+
+def test_f1_accuracy_vs_sklearn(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    logits = rng.normal(size=(50, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 50)
+    pred = logits.argmax(-1)
+    for avg in ("micro", "macro"):
+        got = M.calc_f1(logits, labels, avg)
+        expect = sk.f1_score(labels, pred, average=avg)
+        assert abs(got - expect) < 1e-9
+    assert abs(M.calc_accuracy(logits, labels) -
+               sk.accuracy_score(labels, pred)) < 1e-9
+
+
+def test_multilabel_f1_vs_sklearn(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    logits = rng.normal(size=(40, 5)).astype(np.float32)
+    labels = (rng.random((40, 5)) > 0.5).astype(np.int64)
+    pred = (1 / (1 + np.exp(-logits))) > 0.5
+    for avg in ("micro", "macro"):
+        got = M.calc_f1(logits, labels, avg, multilabel=True)
+        expect = sk.f1_score(labels, pred, average=avg)
+        assert abs(got - expect) < 1e-9
+    assert abs(M.calc_accuracy(logits, labels, multilabel=True) -
+               sk.accuracy_score(labels, pred)) < 1e-9
+
+
+def test_auc_vs_sklearn(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    # binary with ties
+    y = rng.integers(0, 2, 100)
+    s = np.round(rng.random(100), 1)
+    assert abs(M.binary_auc(y, s) - sk.roc_auc_score(y, s)) < 1e-9
+    # multiclass ovr
+    logits = rng.normal(size=(100, 3)).astype(np.float64)
+    labels = rng.integers(0, 3, 100)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    got, per_class = M.roc_auc_ovr(logits, labels)
+    expect = sk.roc_auc_score(labels, probs, multi_class="ovr")
+    assert abs(got - expect) < 1e-9
+    # multilabel
+    ml = (rng.random((100, 3)) > 0.5).astype(np.int64)
+    got_ml, _ = M.roc_auc_ovr(logits, ml, multilabel=True)
+    expect_ml = sk.roc_auc_score(ml, 1 / (1 + np.exp(-logits)))
+    assert abs(got_ml - expect_ml) < 1e-9
+
+
+# -------------------------------------------------------------- checkpoint
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"a": jnp.ones((3, 2)), "nested": {"b": jnp.zeros(4)}}
+    p = tmp_path / "x.ckpt"
+    save_checkpoint(p, params, meta={"epoch": 3})
+    back = load_checkpoint(p)
+    np.testing.assert_array_equal(back["params"]["a"], np.ones((3, 2)))
+    assert back["meta"]["epoch"] == 3
+    # filtered load with an extra/missing key
+    current = {"a": jnp.full((3, 2), 7.0), "nested": {"b": jnp.ones(4)},
+               "new": jnp.ones(1)}
+    merged = load_params_filtered(p, current)
+    np.testing.assert_array_equal(merged["a"], np.ones((3, 2)))
+    np.testing.assert_array_equal(merged["new"], np.ones(1))
+
+
+def test_topk_checkpoints(tmp_path):
+    topk = TopKCheckpoints(tmp_path, k=2, monitor="val_micro_f1")
+    for epoch, f1 in enumerate([0.1, 0.5, 0.3, 0.7]):
+        topk.maybe_save(epoch, {"val_micro_f1": f1, "val_acc": f1,
+                                "val_auroc": f1}, {"w": jnp.zeros(1)})
+    assert len(list(tmp_path.glob("*.ckpt"))) == 2
+    assert "0.70" in topk.best_path.name
+
+
+# ----------------------------------------------------------- training loop
+
+def test_trainer_overfits_toy_task(rng):
+    from tests.test_models import build_toy, HP
+    hp = HP.replace(max_epochs=30, batch_size=6, learning_rate=5e-3,
+                    grad_clip=0.5)
+    model, params, state, batch, anchors, cc_ids = build_toy(hp, rng)
+    # build a SubgraphData-like wrapper over the toy arrays
+    import dataclasses
+    from subgnn_tpu.data.dataset import SubgraphData
+    labels = np.array([0, 1, 2, 0, 1, 2])
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=labels,
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    trainer = Trainer(model, hp)
+    anchors_by_split = {"train": anchors, "val": anchors}
+    final = trainer.fit(params, state, data, data, anchors_by_split, seed=0,
+                        log_fn=None)
+    losses = [m["train_loss"] for m in trainer.metric_scores]
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert final["val_acc"] > 0.5
+    assert trainer.best_monitor_value() >= final["val_micro_f1"] - 1e-9
+    # metric keys match the reference contract
+    for key in ("val_loss", "val_micro_f1", "val_macro_f1", "val_acc",
+                "avg_val_acc", "avg_macro_f1", "val_auroc",
+                "val_auroc_class_0"):
+        assert key in final, key
+
+
+def test_freeze_node_embeds(rng):
+    from tests.test_models import build_toy, HP
+    hp = HP.replace(max_epochs=2, batch_size=6, freeze_node_embeds=True)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    from subgnn_tpu.data.dataset import SubgraphData
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    before = np.asarray(params["node_embed"]).copy()
+    trainer = Trainer(model, hp)
+    trainer.fit(params, state, data, data, {"train": anchors, "val": anchors},
+                seed=0, log_fn=None)
+    np.testing.assert_array_equal(np.asarray(trainer.params["node_embed"]),
+                                  before)
