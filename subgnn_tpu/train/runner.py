@@ -1,0 +1,303 @@
+"""End-to-end pipeline: load -> precompute -> anchors -> train -> test.
+
+Mirrors the reference flow (reference: SubGNN/train_config.py:160-200 driving
+SubGNN.prepare_data at SubGNN/SubGNN.py:1024-1063 and prepare_test_data at
+:994-1022) as an explicit, cache-aware pipeline object.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HParams, RunConfig
+from ..data.graph import CSRGraph
+from ..data.subgraphs import read_subgraphs, reindex_subgraphs, MultiLabelBinarizer
+from ..data.dataset import SubgraphData, initialize_cc_ids
+from ..precompute.shortest_paths import shortest_path_matrix
+from ..precompute.border import compute_border_sets
+from ..precompute.similarities import (
+    cached, compute_shortest_path_similarities, compute_structure_similarities,
+    np_sim_path, border_set_path, struc_patches_path, struc_walks_path,
+    struc_sim_path)
+from ..sampling.walks import sample_structure_anchor_patches, perform_random_walks
+from ..sampling.anchors import (
+    init_anchors_neighborhood, init_anchors_pos_int, init_anchors_pos_ext,
+    init_anchors_structure)
+from ..models.subgnn import SubGNNModel, CHANNEL_CC_KEYS
+from .loop import Trainer
+from .checkpoint import dump_json, load_params_filtered
+
+SPLITS = ("train", "val", "test")
+SPLIT_TAG = {"train": 0, "val": 1, "test": 2}
+
+
+def load_embeddings(path: Path) -> np.ndarray:
+    """Load pretrained node embeddings: .pth (torch tensor) or .npy."""
+    npy = path.with_suffix(".npy")
+    if path.suffix == ".pth" and path.exists():
+        import torch
+        t = torch.load(str(path), map_location="cpu", weights_only=False)
+        return np.asarray(t.detach().numpy() if hasattr(t, "detach") else t,
+                          dtype=np.float32)
+    if npy.exists():
+        return np.load(npy).astype(np.float32)
+    raise FileNotFoundError(path)
+
+
+class SubGNNPipeline:
+    def __init__(self, run_config: RunConfig, hp: HParams,
+                 results_dir: Optional[str | Path] = None):
+        self.rc = run_config
+        self.hp = hp
+        self.results_dir = Path(results_dir) if results_dir else None
+        self._loaded = False
+
+    # ------------------------------------------------------------------ load
+
+    def load(self):
+        """Read graph/subgraphs/embeddings (reference: SubGNN.py:519-570)."""
+        rc, hp = self.rc, self.hp
+        self.graph = CSRGraph.from_edgelist(rc.graph_path())
+        (tr, trl, va, val, te, tel, multilabel) = read_subgraphs(
+            rc.subgraphs_path())
+        self.multilabel = multilabel
+        if multilabel:
+            self.binarizer = MultiLabelBinarizer().fit(
+                list(trl) + list(val) + list(tel))
+            self.num_classes = max(max(l) for l in
+                                   list(trl) + list(val) + list(tel)) + 1
+        else:
+            self.binarizer = None
+            self.num_classes = int(max(trl.max(), val.max(), tel.max())) + 1
+        if hp.subset_data:
+            b = hp.batch_size
+            tr, trl = tr[:b], trl[:b]
+            va, val = va[:b], val[:b]
+            te, tel = te[:b], tel[:b]
+        self.subgraphs = {"train": reindex_subgraphs(tr),
+                          "val": reindex_subgraphs(va),
+                          "test": reindex_subgraphs(te)}
+        self.labels = {"train": trl, "val": val, "test": tel}
+
+        emb = load_embeddings(rc.embedding_path(hp.embedding_type))
+        self.pretrained_embeds = emb
+        self.hp = hp = hp.replace(node_embed_size=int(emb.shape[1]))
+
+        self.cc_ids = {s: initialize_cc_ids(self.graph, self.subgraphs[s])
+                       for s in SPLITS}
+        self._loaded = True
+        return self
+
+    # ------------------------------------------------------------ precompute
+
+    def precompute(self):
+        """Border sets, N/P shortest-path sims, S patches/walks/DTW sims —
+        all cached under <task>/similarities with reference-compatible
+        filenames (reference: SubGNN.py:673-989)."""
+        assert self._loaded
+        rc, hp = self.rc, self.hp
+        sim_dir = rc.similarities_path()
+        sim_dir.mkdir(parents=True, exist_ok=True)
+        recompute = hp.compute_similarities
+
+        self.border = {s: None for s in SPLITS}
+        if hp.use_neighborhood:
+            for s in SPLITS:
+                self.border[s] = cached(
+                    border_set_path(sim_dir, hp.neigh_sample_border_size, s),
+                    lambda s=s: compute_border_sets(
+                        self.graph, self.cc_ids[s], hp.neigh_sample_border_size),
+                    recompute)
+
+        self.np_sim = {s: None for s in SPLITS}
+        if hp.use_neighborhood or hp.use_position:
+            sp_path = rc.shortest_paths_path()
+            if sp_path.exists():
+                shortest = np.load(sp_path, allow_pickle=True)
+            else:
+                shortest = shortest_path_matrix(self.graph)
+                np.save(sp_path, shortest)
+            for s in SPLITS:
+                self.np_sim[s] = cached(
+                    np_sim_path(sim_dir, s),
+                    lambda s=s: compute_shortest_path_similarities(
+                        shortest, self.cc_ids[s]),
+                    recompute).astype(np.float32)
+
+        self.int_s_sim = {s: None for s in SPLITS}
+        self.bor_s_sim = {s: None for s in SPLITS}
+        self.structure_anchors = None
+        self.int_walks = self.bor_walks = None
+        if hp.use_structure:
+            self.structure_anchors = cached(
+                struc_patches_path(sim_dir, hp),
+                lambda: sample_structure_anchor_patches(
+                    self.graph, hp, hp.seed, hp.max_sim_epochs),
+                recompute).astype(np.int32)
+            self.int_walks = cached(
+                struc_walks_path(sim_dir, hp, True),
+                lambda: perform_random_walks(self.graph, hp,
+                                             self.structure_anchors, True,
+                                             hp.seed),
+                recompute).astype(np.int32)
+            self.bor_walks = cached(
+                struc_walks_path(sim_dir, hp, False),
+                lambda: perform_random_walks(self.graph, hp,
+                                             self.structure_anchors, False,
+                                             hp.seed),
+                recompute).astype(np.int32)
+            for s in SPLITS:
+                self.int_s_sim[s] = cached(
+                    struc_sim_path(sim_dir, hp, True, s),
+                    lambda s=s: compute_structure_similarities(
+                        self.graph, self.cc_ids[s], self.structure_anchors,
+                        internal=True),
+                    recompute).astype(np.float32)
+                self.bor_s_sim[s] = cached(
+                    struc_sim_path(sim_dir, hp, False, s),
+                    lambda s=s: compute_structure_similarities(
+                        self.graph, self.cc_ids[s], self.structure_anchors,
+                        internal=False),
+                    recompute).astype(np.float32)
+        return self
+
+    # --------------------------------------------------------------- anchors
+
+    def sample_anchors(self, seed: Optional[int] = None) -> Dict[str, Dict]:
+        """Per-split anchor arrays (reference: SubGNN.py:1047-1061)."""
+        hp = self.hp
+        seed = hp.seed if seed is None else seed
+        anchors: Dict[str, Dict[str, Any]] = {s: {} for s in SPLITS}
+        if hp.use_neighborhood:
+            for s in SPLITS:
+                ai, ab = init_anchors_neighborhood(
+                    hp, self.cc_ids[s], self.border[s], seed, SPLIT_TAG[s])
+                anchors[s]["neigh_int"] = jnp.asarray(ai)
+                anchors[s]["neigh_bor"] = jnp.asarray(ab)
+        if hp.use_position:
+            pos_ext = jnp.asarray(init_anchors_pos_ext(hp, self.graph, seed))
+            for s in SPLITS:
+                anchors[s]["pos_int"] = jnp.asarray(init_anchors_pos_int(
+                    hp, self.subgraphs[s], seed, SPLIT_TAG[s]))
+                anchors[s]["pos_ext"] = pos_ext  # shared (SubGNN.py:1012)
+        if hp.use_structure:
+            patches, idx, iw, bw = init_anchors_structure(
+                hp, self.structure_anchors, self.int_walks, self.bor_walks,
+                seed)
+            for s in SPLITS:
+                anchors[s]["struc_pool_idx"] = jnp.asarray(idx)
+                anchors[s]["struc_int_walks"] = jnp.asarray(iw)
+                anchors[s]["struc_bor_walks"] = jnp.asarray(bw)
+        return anchors
+
+    # ------------------------------------------------------------------ data
+
+    def split_data(self, split: str) -> SubgraphData:
+        labels = self.labels[split]
+        if self.multilabel:
+            labels = self.binarizer.transform(labels)
+        else:
+            labels = np.asarray(labels, dtype=np.int64)
+        from ..data.dataset import pad_node_lists
+        return SubgraphData(
+            subgraph_ids=pad_node_lists(self.subgraphs[split]),
+            cc_ids=self.cc_ids[split],
+            labels=labels,
+            N_border=self.border[split],
+            NP_sim=self.np_sim[split],
+            I_S_sim=self.int_s_sim[split],
+            B_S_sim=self.bor_s_sim[split],
+            multilabel=self.multilabel,
+        )
+
+    # ----------------------------------------------------------------- model
+
+    def _init_cc_tables(self, split: str) -> Dict[str, np.ndarray]:
+        """Initial per-channel CC tables from the PRETRAINED embeddings
+        (reference: SubGNN.py:609-668; val/test stay at this init even as
+        node embeddings train — quirk preserved)."""
+        table = np.concatenate([np.zeros((1, self.hp.node_embed_size),
+                                         np.float32),
+                                self.pretrained_embeds], axis=0)
+        ids = self.cc_ids[split]
+        emb = table[ids]  # (N, C, L, D)
+        if self.hp.cc_aggregator == "sum":
+            cc = emb.sum(axis=2)
+        else:
+            cc = emb.max(axis=2)
+        return {k: cc.copy() for k in CHANNEL_CC_KEYS}
+
+    def build_model(self, seed: Optional[int] = None):
+        hp = self.hp
+        seed = hp.seed if seed is None else seed
+        model = SubGNNModel(hp, self.graph.n_nodes, self.num_classes,
+                            self.multilabel)
+        train_cc = self._init_cc_tables("train") if hp.trainable_cc else None
+        params, state = model.init_params(jax.random.PRNGKey(seed),
+                                          self.pretrained_embeds, train_cc)
+        eval_cc = None
+        if hp.trainable_cc:
+            eval_cc = {s: {k: jnp.asarray(v) for k, v in
+                           self._init_cc_tables(s).items()}
+                       for s in ("val", "test")}
+        return model, params, state, eval_cc
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, seed: Optional[int] = None, log_fn=print,
+            restore_path: Optional[str | Path] = None) -> Dict[str, Any]:
+        """Full train + test cycle; writes the reference's JSON artifacts
+        (hyperparams.json, final_metric_scores.json, test_results.json)."""
+        hp = self.hp
+        seed = hp.seed if seed is None else seed
+        self.load()
+        self.precompute()
+        anchors = self.sample_anchors(seed)
+        model, params, state, eval_cc = self.build_model(seed)
+        if restore_path:
+            params = load_params_filtered(restore_path, params)
+
+        ckpt_dir = self.results_dir / "checkpoints" if self.results_dir else None
+        trainer = Trainer(model, hp, ckpt_dir=ckpt_dir,
+                          monitor=self.rc.monitor_metric,
+                          eval_cc_tables=eval_cc)
+        if self.results_dir:
+            dump_json(self.results_dir / "hyperparams.json", hp.to_dict())
+
+        on_epoch_end = None
+        if hp.resample_anchor_patches:
+            def on_epoch_end(epoch):  # noqa: F811
+                return self.sample_anchors(seed + 1000 + epoch)
+
+        train_data = self.split_data("train")
+        val_data = self.split_data("val")
+        trainer.fit(params, state, train_data, val_data, anchors, seed=seed,
+                    on_epoch_end=on_epoch_end, log_fn=log_fn)
+
+        if self.results_dir and trainer.metric_scores:
+            dump_json(self.results_dir / "final_metric_scores.json",
+                      {k: v for k, v in trainer.metric_scores[-1].items()})
+
+        # test with the best checkpoint (reference: train.py:389-409)
+        if trainer.ckpt and trainer.ckpt.best_path:
+            trainer.params = load_params_filtered(trainer.ckpt.best_path,
+                                                  trainer.params)
+        test_metrics = trainer.evaluate(self.split_data("test"),
+                                        anchors["test"], "test")
+        if self.results_dir:
+            dump_json(self.results_dir / "test_results.json", test_metrics)
+        self.trainer = trainer
+        return {"val": trainer.metric_scores[-1] if trainer.metric_scores else {},
+                "test": test_metrics,
+                "best_monitor": trainer.best_monitor_value()}
+
+
+def load_best_hyperparams(path: str | Path) -> HParams:
+    """Load a frozen best_model_hyperparameters/*/hyperparams.json dict."""
+    with open(path) as f:
+        return HParams.from_dict(json.load(f))

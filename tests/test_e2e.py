@@ -1,0 +1,86 @@
+"""End-to-end: synthetic DENSITY dataset -> node embeddings -> full pipeline."""
+import numpy as np
+import pytest
+
+from subgnn_tpu.config import HParams, RunConfig
+from subgnn_tpu.data.graph import CSRGraph
+from subgnn_tpu.prepare.synthetic import build_synthetic_dataset
+from subgnn_tpu.prepare.node_emb import train_node_embeddings, save_embeddings
+from subgnn_tpu.train.runner import SubGNNPipeline
+
+
+@pytest.fixture(scope="module")
+def density_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    task_dir = root / "density"
+    builder = build_synthetic_dataset(
+        task_dir, desired_property="density", seed=42,
+        n=120, m=3, n_subgraphs=40, n_subgraph_nodes=8, max_tries=40)
+    graph = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    emb, metrics = train_node_embeddings(graph, conv_type="gin", hidden=32,
+                                         out_dim=16, epochs=30, seed=0)
+    save_embeddings(task_dir, emb, "gin")
+    return root, task_dir, builder, metrics
+
+
+def test_synthetic_dataset_files(density_dataset):
+    root, task_dir, builder, _ = density_dataset
+    assert (task_dir / "edge_list.txt").exists()
+    assert (task_dir / "subgraphs.pth").exists()
+    lines = (task_dir / "subgraphs.pth").read_text().strip().split("\n")
+    assert len(lines) >= 30
+    splits = [l.split("\t")[2] for l in lines]
+    assert splits.count("train") > splits.count("val") > 0
+    labels = {l.split("\t")[1] for l in lines}
+    assert len(labels) >= 2  # quantile binning made >= 2 classes
+
+
+def test_node_embeddings_learn_link_structure(density_dataset):
+    _, _, _, metrics = density_dataset
+    assert metrics["val_auc"] > 0.6, metrics
+
+
+def test_full_pipeline_density(density_dataset, tmp_path):
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(
+        use_neighborhood=True, use_structure=True, use_position=True,
+        n_layers=1, max_epochs=4, batch_size=16, learning_rate=3e-3,
+        n_anchor_patches_N_in=3, n_anchor_patches_N_out=4,
+        n_anchor_patches_pos_in=4, n_anchor_patches_pos_out=6,
+        n_anchor_patches_structure=4, n_triangular_walks=3,
+        random_walk_len=6, sample_walk_len=10, max_sim_epochs=2,
+        linear_hidden_dim_1=16, linear_hidden_dim_2=8, seed=0,
+        embedding_type="gin", grad_clip=0.5)
+    pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
+    out = pipe.run(log_fn=None)
+    assert "val_micro_f1" in out["val"]
+    assert "test_micro_f1" in out["test"]
+    assert 0.0 <= out["test"]["test_micro_f1"] <= 1.0
+    assert (tmp_path / "hyperparams.json").exists()
+    assert (tmp_path / "final_metric_scores.json").exists()
+    assert (tmp_path / "test_results.json").exists()
+    assert list((tmp_path / "checkpoints").glob("*.ckpt"))
+    # caches were produced with reference-compatible names
+    sims = rc.similarities_path()
+    assert list(sims.glob("0_train_similarities.npy"))
+    assert list(sims.glob("struc_patches_*.npy"))
+    # second run hits the caches and restores from the same artifacts
+    losses = [m["train_loss"] for m in pipe.trainer.metric_scores]
+    assert losses[-1] < losses[0]
+
+
+def test_pipeline_structure_only(density_dataset, tmp_path):
+    """The hpo_metab best-hparams shape: S channel only."""
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(
+        use_neighborhood=False, use_structure=True, use_position=False,
+        n_layers=2, max_epochs=2, batch_size=16,
+        n_anchor_patches_structure=4, n_triangular_walks=3,
+        random_walk_len=6, sample_walk_len=10, max_sim_epochs=2,
+        linear_hidden_dim_1=16, linear_hidden_dim_2=8, seed=1,
+        embedding_type="gin")
+    pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
+    out = pipe.run(log_fn=None)
+    assert 0.0 <= out["test"]["test_acc"] <= 1.0
