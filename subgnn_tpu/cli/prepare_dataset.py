@@ -1,0 +1,91 @@
+"""Dataset preparation driver: synthetic graph + node embeddings + metrics.
+
+Usage:
+  python -m subgnn_tpu.cli.prepare_dataset -out <root>/density \\
+      -property density [-n 1000] [-n_subgraphs 250] [-conv gin]
+
+Covers the reference's prepare_dataset.py + train_node_emb.py +
+precompute_graph_metrics.py flow (reference: prepare_dataset/README.md:21-26)
+in one command: writes edge_list.txt, subgraphs.pth, shortest_path_matrix.npy,
+degree_sequence.txt, ego_graphs.txt, and <conv>_embeddings.{pth,npy}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..data.graph import CSRGraph
+from ..precompute.shortest_paths import (shortest_path_matrix, ego_graphs_1hop,
+                                         degree_dict)
+from ..prepare.synthetic import build_synthetic_dataset
+from ..prepare.node_emb import train_node_embeddings, save_embeddings
+
+
+def precompute_graph_metrics(task_dir: Path, graph: CSRGraph,
+                             override: bool = False):
+    """ego_graphs.txt + degree_sequence.txt + shortest_path_matrix.npy
+    (reference: prepare_dataset/precompute_graph_metrics.py:28-70)."""
+    (task_dir / "similarities").mkdir(parents=True, exist_ok=True)
+    ego_p = task_dir / "ego_graphs.txt"
+    if override or not ego_p.exists():
+        ego_p.write_text(json.dumps(ego_graphs_1hop(graph)))
+    deg_p = task_dir / "degree_sequence.txt"
+    if override or not deg_p.exists():
+        deg_p.write_text(json.dumps(degree_dict(graph)))
+    sp_p = task_dir / "shortest_path_matrix.npy"
+    if override or not sp_p.exists():
+        np.save(sp_p, shortest_path_matrix(graph))
+
+
+def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
+            conv: str = "gin", emb_dim: int = 64, emb_epochs: int = 100,
+            generate_graph: bool = True, generate_emb: bool = True,
+            log_fn=print, **gen_kwargs):
+    task_dir = Path(out_dir)
+    if generate_graph:
+        build_synthetic_dataset(task_dir, desired_property=desired_property,
+                                seed=seed, **gen_kwargs)
+        if log_fn:
+            log_fn(f"wrote {task_dir}/edge_list.txt + subgraphs.pth")
+    graph = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    precompute_graph_metrics(task_dir, graph)
+    if log_fn:
+        log_fn("precomputed graph metrics")
+    if generate_emb:
+        emb, metrics = train_node_embeddings(graph, conv_type=conv,
+                                             out_dim=emb_dim,
+                                             epochs=emb_epochs, seed=seed)
+        save_embeddings(task_dir, emb, conv)
+        if log_fn:
+            log_fn(f"node embeddings: {metrics}")
+    return task_dir
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-out", type=str, required=True)
+    parser.add_argument("-property", type=str, default="density",
+                        choices=["density", "cut_ratio", "coreness", "cc"])
+    parser.add_argument("-seed", type=int, default=42)
+    parser.add_argument("-n", type=int, default=1000)
+    parser.add_argument("-n_subgraphs", type=int, default=250)
+    parser.add_argument("-n_subgraph_nodes", type=int, default=20)
+    parser.add_argument("-conv", type=str, default="gin",
+                        choices=["gin", "graphsaint_gcn"])
+    parser.add_argument("-emb_dim", type=int, default=64)
+    parser.add_argument("-emb_epochs", type=int, default=100)
+    parser.add_argument("--skip_graph", action="store_true",
+                        help="only precompute metrics + embeddings for an "
+                             "existing edge_list.txt/subgraphs.pth")
+    args = parser.parse_args()
+    prepare(args.out, args.property, args.seed, args.conv, args.emb_dim,
+            args.emb_epochs, generate_graph=not args.skip_graph,
+            n=args.n, n_subgraphs=args.n_subgraphs,
+            n_subgraph_nodes=args.n_subgraph_nodes)
+
+
+if __name__ == "__main__":
+    main()

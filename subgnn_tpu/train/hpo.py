@@ -1,0 +1,144 @@
+"""Hyperparameter search driver (optuna-compatible spec, no optuna needed).
+
+Consumes the reference's run-config search spec
+(reference: SubGNN/train_config.py:53-86 + config_files/README.md):
+    "hyperparams_optuna": {"batch_size": {"type": "suggest_categorical",
+                                          "args": [[64, 128]]}, ...}
+If optuna is installed it is used directly (same sampler names); otherwise a
+built-in random/grid sampler with a JSON study file replicates the behavior
+(study resumes from disk like the reference's sqlite study,
+train_config.py:266-271).
+"""
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+try:
+    import optuna  # noqa: F401
+    HAS_OPTUNA = True
+except ImportError:
+    HAS_OPTUNA = False
+
+
+class Trial:
+    """Minimal optuna.Trial stand-in (suggest_* API subset used by the
+    reference configs)."""
+
+    def __init__(self, rng: np.random.Generator,
+                 fixed: Optional[Dict[str, Any]] = None):
+        self.rng = rng
+        self.params: Dict[str, Any] = {}
+        self.fixed = fixed or {}
+
+    def _record(self, name, value):
+        self.params[name] = value
+        return value
+
+    def suggest_categorical(self, name, choices):
+        if name in self.fixed:
+            return self._record(name, self.fixed[name])
+        return self._record(name, choices[int(self.rng.integers(len(choices)))])
+
+    def suggest_int(self, name, low, high, step=1, log=False):
+        if name in self.fixed:
+            return self._record(name, self.fixed[name])
+        if log:
+            v = int(round(math.exp(self.rng.uniform(math.log(low),
+                                                    math.log(high)))))
+            return self._record(name, int(np.clip(v, low, high)))
+        return self._record(name, int(self.rng.integers(low, high + 1)))
+
+    def suggest_float(self, name, low, high, step=None, log=False):
+        if name in self.fixed:
+            return self._record(name, self.fixed[name])
+        if log:
+            return self._record(name, float(math.exp(
+                self.rng.uniform(math.log(low), math.log(high)))))
+        if step:
+            n = int((high - low) / step)
+            return self._record(name, low + step * int(self.rng.integers(n + 1)))
+        return self._record(name, float(self.rng.uniform(low, high)))
+
+    suggest_uniform = suggest_float
+    suggest_loguniform = None  # defined below
+
+
+def _suggest_loguniform(self, name, low, high):
+    return self.suggest_float(name, low, high, log=True)
+
+
+Trial.suggest_loguniform = _suggest_loguniform
+
+
+def suggest_from_spec(trial, name: str, spec: Dict[str, Any]):
+    """Apply one reference-format suggest spec
+    (reference: train_config.py:53-72)."""
+    fn = getattr(trial, spec["type"])
+    args = [name] + list(spec["args"])
+    kwargs = dict(spec.get("kwargs", {}))
+    return fn(*args, **kwargs)
+
+
+def hyperparams_from_config(run_config, trial) -> Dict[str, Any]:
+    """fixed dict + sampled search values (reference: train_config.py:74-86)."""
+    hyp = dict(run_config.hyperparams_fix)
+    for k, spec in run_config.hyperparams_optuna.items():
+        hyp[k] = suggest_from_spec(trial, k, spec)
+    return hyp
+
+
+def _grid_points(space: Dict[str, List[Any]]) -> List[Dict[str, Any]]:
+    keys = list(space)
+    points: List[Dict[str, Any]] = [{}]
+    for k in keys:
+        points = [dict(p, **{k: v}) for p in points for v in space[k]]
+    return points
+
+
+class Study:
+    """Random/grid search with a resumable JSON state file."""
+
+    def __init__(self, study_path: str | Path, direction: str = "maximize",
+                 sampler: str = "random", seed: int = 0,
+                 grid_search_space: Optional[Dict[str, List[Any]]] = None):
+        self.path = Path(study_path)
+        self.direction = direction
+        self.sampler = sampler
+        self.seed = seed
+        self.grid = (_grid_points(grid_search_space)
+                     if sampler == "grid" and grid_search_space else None)
+        self.trials: List[Dict[str, Any]] = []
+        if self.path.exists():
+            self.trials = json.loads(self.path.read_text())["trials"]
+
+    def _save(self):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(json.dumps({"trials": self.trials}, indent=2,
+                                        default=float))
+
+    def optimize(self, objective: Callable[[Trial], float], n_trials: int):
+        start = len(self.trials)
+        for t in range(start, n_trials):
+            rng = np.random.default_rng([self.seed, t])
+            fixed = self.grid[t % len(self.grid)] if self.grid else None
+            trial = Trial(rng, fixed)
+            value = objective(trial)
+            self.trials.append({"number": t, "value": float(value),
+                                "params": trial.params})
+            self._save()
+        return self
+
+    @property
+    def best_trial(self) -> Dict[str, Any]:
+        key = (lambda t: t["value"]) if self.direction == "maximize" \
+            else (lambda t: -t["value"])
+        return max(self.trials, key=key)
+
+    @property
+    def best_params(self) -> Dict[str, Any]:
+        return self.best_trial["params"]

@@ -1,0 +1,130 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from subgnn_tpu.train.hpo import Study, Trial, hyperparams_from_config, suggest_from_spec
+from subgnn_tpu.config import RunConfig
+
+
+def test_trial_suggest_types():
+    t = Trial(np.random.default_rng(0))
+    c = t.suggest_categorical("bs", [64, 128])
+    assert c in (64, 128)
+    i = t.suggest_int("n_layers", 1, 5)
+    assert 1 <= i <= 5
+    f = t.suggest_float("lr", 1e-4, 1e-3, log=True)
+    assert 1e-4 <= f <= 1e-3
+    assert set(t.params) == {"bs", "n_layers", "lr"}
+
+
+def test_suggest_from_reference_spec():
+    # the exact spec format shipped in config_files/*.json
+    spec = {"type": "suggest_float", "args": [1e-4, 1e-3], "kwargs": {"log": True}}
+    t = Trial(np.random.default_rng(1))
+    v = suggest_from_spec(t, "learning_rate", spec)
+    assert 1e-4 <= v <= 1e-3
+    spec_cat = {"type": "suggest_categorical", "args": [[64, 128]]}
+    v2 = suggest_from_spec(t, "batch_size", spec_cat)
+    assert v2 in (64, 128)
+
+
+def test_study_resume_and_best(tmp_path):
+    calls = []
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        calls.append(x)
+        return x
+
+    s = Study(tmp_path / "study.json", direction="maximize", seed=7)
+    s.optimize(objective, 3)
+    assert len(s.trials) == 3
+    # resume: a new Study over the same file continues, not restarts
+    s2 = Study(tmp_path / "study.json", direction="maximize", seed=7)
+    s2.optimize(objective, 5)
+    assert len(s2.trials) == 5
+    assert s2.best_trial["value"] == max(t["value"] for t in s2.trials)
+
+
+def test_grid_sampler(tmp_path):
+    space = {"a": [1, 2], "b": [10, 20]}
+
+    def objective(trial):
+        a = trial.suggest_categorical("a", [1, 2])
+        b = trial.suggest_categorical("b", [10, 20])
+        return a * b
+
+    s = Study(tmp_path / "study.json", sampler="grid", grid_search_space=space)
+    s.optimize(objective, 4)
+    seen = {(t["params"]["a"], t["params"]["b"]) for t in s.trials}
+    assert seen == {(1, 10), (1, 20), (2, 10), (2, 20)}
+
+
+def test_run_config_parses_reference_config(tmp_path):
+    cfg = """{
+        "data": {"task": "hpo_metab"},
+        // comment line like commentjson allows
+        "tb": {"tb_logging": true, "dir": "tensorboard", "name": "S_metab"},
+        "optuna": {"opt_n_trials": 50, "opt_n_cores": 1,
+                   "monitor_metric": "val_micro_f1",
+                   "opt_direction": "maximize", "sampler": "random",
+                   "pruning": false},
+        "hyperparams_fix": {"max_epochs": 300, "use_structure": true},
+        "hyperparams_optuna": {
+            "batch_size": {"type": "suggest_categorical", "args": [[64, 128]]}
+        }
+    }"""
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg)
+    rc = RunConfig.from_json(p)
+    assert rc.task == "hpo_metab"
+    assert rc.opt_n_trials == 50
+    assert rc.hyperparams_fix["max_epochs"] == 300
+    hyp = hyperparams_from_config(rc, Trial(np.random.default_rng(0)))
+    assert hyp["batch_size"] in (64, 128)
+    assert hyp["max_epochs"] == 300
+
+
+@pytest.mark.slow
+def test_study_end_to_end(tmp_path):
+    """2-trial study over the tiny synthetic density dataset."""
+    from subgnn_tpu.prepare.synthetic import build_synthetic_dataset
+    from subgnn_tpu.prepare.node_emb import train_node_embeddings, save_embeddings
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.cli.train_config import run_study
+
+    root = tmp_path
+    task_dir = root / "density"
+    build_synthetic_dataset(task_dir, "density", seed=1, n=80, m=3,
+                            n_subgraphs=24, n_subgraph_nodes=6, max_tries=20)
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    emb, _ = train_node_embeddings(g, out_dim=8, hidden=16, epochs=10)
+    save_embeddings(task_dir, emb, "gin")
+
+    cfg = {
+        "data": {"task": "density"},
+        "tb": {"dir": "tb", "name": "toy"},
+        "optuna": {"opt_n_trials": 2, "monitor_metric": "val_micro_f1",
+                   "opt_direction": "maximize", "sampler": "random",
+                   "pruning": False},
+        "hyperparams_fix": {
+            "max_epochs": 2, "use_neighborhood": False, "use_structure": True,
+            "use_position": False, "seed": 0, "batch_size": 8,
+            "n_anchor_patches_structure": 3, "n_triangular_walks": 2,
+            "random_walk_len": 5, "sample_walk_len": 8, "max_sim_epochs": 2,
+            "linear_hidden_dim_1": 8, "linear_hidden_dim_2": 8,
+            "embedding_type": "gin", "n_layers": 1,
+        },
+        "hyperparams_optuna": {
+            "learning_rate": {"type": "suggest_float", "args": [1e-4, 1e-2],
+                              "kwargs": {"log": True}}
+        },
+    }
+    cfg_path = root / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    study = run_study(str(cfg_path), project_root=str(root), log_fn=None)
+    assert len(study.trials) == 2
+    assert all(np.isfinite(t["value"]) for t in study.trials)
+    assert (root / "tb" / "toy" / "study.json").exists()
