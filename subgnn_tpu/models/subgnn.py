@@ -90,8 +90,14 @@ class SubGNNModel:
         hp = self.hp
         D = hp.node_embed_size
         assert pretrained_embeds.shape[1] == D
+        # pad the row count to a multiple of 8 so the table's leading axis
+        # can shard evenly over a 'node' mesh axis (and tiles cleanly);
+        # rows beyond n_nodes are never indexed
+        rows = pretrained_embeds.shape[0] + 1
+        aligned = -(-rows // 8) * 8
         table = jnp.concatenate(
-            [jnp.zeros((1, D)), jnp.asarray(pretrained_embeds, jnp.float32)], axis=0)
+            [jnp.zeros((1, D)), jnp.asarray(pretrained_embeds, jnp.float32),
+             jnp.zeros((aligned - rows, D))], axis=0)
 
         params: Dict[str, Any] = {"node_embed": table}
         state: Dict[str, Any] = {}
