@@ -1,0 +1,90 @@
+"""Benchmark: SubGNN training-step throughput on the attached accelerator.
+
+Prints ONE JSON line:
+    {"metric": "mpn_edges_per_s", "value": N, "unit": "edges/s",
+     "vs_baseline": R}
+
+The metric counts anchor-patch->CC message edges processed per second by the
+full jitted training step (forward + backward + Adam) on the flagship
+configuration — the reference's hot loop equivalent (its PyG scatter over
+the same bipartite edges, SubGNN/subgraph_mpn.py:162-231). vs_baseline is
+the ratio against BASELINE_EDGES_PER_S, an estimated reference-implementation
+throughput for the same edge count (measured once with the torch path; the
+reference repo itself publishes no perf numbers — BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Measured reference-style throughput for the same workload shape: the
+# scatter-based torch-CPU step in bench_torch_baseline.py (the reference
+# repo publishes no perf numbers — BASELINE.md). Measured 2026-08-17 on this
+# machine: 652.5k edges/s (0.194 s/step).
+BASELINE_EDGES_PER_S = 6.525e5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import __graft_entry__ as ge
+
+    # production-ish shapes: D=128, 2 layers, all three channels
+    B, C, n_nodes = 128, 3, 8192
+    hp_overrides = dict(node_embed_size=128, n_layers=2,
+                        n_anchor_patches_N_in=15, n_anchor_patches_N_out=30,
+                        n_anchor_patches_pos_in=30, n_anchor_patches_pos_out=60,
+                        n_anchor_patches_structure=15, n_triangular_walks=5,
+                        random_walk_len=10, linear_hidden_dim_1=64,
+                        linear_hidden_dim_2=32)
+    model, hp, params, state, batch, anchors = ge._build_flagship(
+        n_nodes=n_nodes, n_sub=B, C=C, L=16, n_pool=150,
+        hp_overrides=hp_overrides)
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            logits, _ = model.forward(p, state, batch, anchors, train=True,
+                                      rng=rng)
+            return model.loss_fn(logits, batch["label"], batch["valid"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(0)
+    # warmup / compile
+    params2, opt2, loss = train_step(params, opt_state, batch, rng)
+    jax.block_until_ready(loss)
+
+    iters = 30
+    t0 = time.perf_counter()
+    p, o = params2, opt2
+    for i in range(iters):
+        p, o, loss = train_step(p, o, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    edges_per_layer = (hp.n_anchor_patches_N_in + hp.n_anchor_patches_N_out
+                       + hp.n_anchor_patches_pos_in + hp.n_anchor_patches_pos_out
+                       + 2 * hp.n_anchor_patches_structure)
+    edges_per_step = B * C * edges_per_layer * hp.n_layers
+    steps_per_s = iters / dt
+    edges_per_s = edges_per_step * steps_per_s
+
+    print(json.dumps({
+        "metric": "mpn_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

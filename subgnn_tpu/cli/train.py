@@ -1,0 +1,93 @@
+"""Argparse single-run driver (the reference's SubGNN/train.py equivalent).
+
+Usage:
+  python -m subgnn_tpu.cli.train -task density -project_root data \\
+      [-hyperparams path/to/hyperparams.json] [-restoreModelPath dir] \\
+      [-max_epochs N] [-seed S] [-noTrain] [-subset_data]
+
+Covers the reference flows (reference: SubGNN/train.py:47-497): single
+training run with default or restored hyperparameters, checkpoint restore
+(filtered intersection load), optional test-only evaluation, JSON artifact
+dumps.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from ..config import HParams, RunConfig
+from ..train.runner import SubGNNPipeline
+
+
+def default_hyperparams() -> dict:
+    """Hard-coded defaults mirroring reference train.py:104-150."""
+    return dict(
+        seed=42, max_epochs=100, use_neighborhood=True, use_structure=True,
+        use_position=True, structure_patch_type="triangular_random_walk",
+        lstm_aggregator="last", n_processes=4, resample_anchor_patches=False,
+        freeze_node_embeds=False, use_mpn_projection=True,
+        compute_similarities=False, sample_walk_len=50, n_triangular_walks=10,
+        random_walk_len=15, rw_beta=0.7, max_sim_epochs=5, batch_size=64,
+        learning_rate=5e-4, grad_clip=0.5, n_layers=2,
+        neigh_sample_border_size=1, n_anchor_patches_pos_out=100,
+        n_anchor_patches_pos_in=50, n_anchor_patches_N_in=15,
+        n_anchor_patches_N_out=50, n_anchor_patches_structure=25,
+        linear_hidden_dim_1=64, linear_hidden_dim_2=32, lstm_dropout=0.0,
+        lstm_n_layers=1, lin_dropout=0.0, cc_aggregator="sum",
+        trainable_cc=False, embedding_type="gin", ff_attn=False,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Learn subgraph embeddings")
+    parser.add_argument("-task", type=str, required=True)
+    parser.add_argument("-project_root", type=str, required=True)
+    parser.add_argument("-tb_dir", type=str, default="tensorboard")
+    parser.add_argument("-tb_name", type=str, default="run")
+    parser.add_argument("-hyperparams", type=str, default=None,
+                        help="path to a hyperparams.json to load")
+    parser.add_argument("-restoreModelPath", type=str, default=None,
+                        help="dir containing hyperparams.json (+ checkpoints)")
+    parser.add_argument("-restoreModelName", type=str, default=None,
+                        help="checkpoint filename inside restoreModelPath")
+    parser.add_argument("-noTrain", action="store_true",
+                        help="skip training; restore and test only")
+    parser.add_argument("-subset_data", action="store_true")
+    parser.add_argument("-max_epochs", type=int, default=None)
+    parser.add_argument("-seed", type=int, default=None)
+    parser.add_argument("-monitor_metric", type=str, default="val_micro_f1")
+    args = parser.parse_args()
+
+    hyp = default_hyperparams()
+    if args.restoreModelPath:
+        with open(Path(args.restoreModelPath) / "hyperparams.json") as f:
+            hyp.update(json.load(f))
+    if args.hyperparams:
+        with open(args.hyperparams) as f:
+            hyp.update(json.load(f))
+    if args.max_epochs is not None:
+        hyp["max_epochs"] = args.max_epochs
+    if args.seed is not None:
+        hyp["seed"] = args.seed
+    if args.subset_data:
+        hyp["subset_data"] = True
+    if args.noTrain:
+        hyp["max_epochs"] = 0
+
+    rc = RunConfig(task=args.task, project_root=Path(args.project_root),
+                   tb_dir=args.tb_dir, tb_name=args.tb_name,
+                   monitor_metric=args.monitor_metric)
+    results_dir = Path(args.project_root) / args.tb_dir / args.tb_name
+    restore = None
+    if args.restoreModelPath and args.restoreModelName:
+        restore = Path(args.restoreModelPath) / args.restoreModelName
+
+    pipe = SubGNNPipeline(rc, HParams.from_dict(hyp), results_dir=results_dir)
+    out = pipe.run(restore_path=restore)
+    print(json.dumps({"test": out["test"],
+                      "best_monitor": out["best_monitor"]}, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,16 +166,27 @@ class SubGNNModel:
             return embeds.max(axis=2)
         raise NotImplementedError(self.hp.cc_aggregator)
 
-    def _struct_anchor_embeds(self, params, table, walks, *, train, rng):
-        """(A_S, W, L) walk ids -> (A_S, D): LSTM over each walk, sum over
-        walks (reference: anchor_patch_samplers.py:413-433)."""
+    def _struct_anchor_embeds(self, params, table, int_walks, bor_walks, *,
+                              train, rng):
+        """All structure anchor-patch embeddings in ONE batched LSTM call.
+
+        int_walks/bor_walks: (n_layers, A_S, W, L) walk ids. The anchor
+        embeddings depend only on parameters — not on layer inputs — so the
+        reference's 2 x n_layers separate LSTM invocations per forward
+        (anchor_patch_samplers.py:386,413-433) fuse into a single scan with
+        batch = 2*n_layers*A_S*W, keeping the MXU busy. Returns
+        (emb_int, emb_bor), each (n_layers, A_S, D): LSTM over each walk,
+        summed over walks.
+        """
         hp = self.hp
-        A_S, W, L = walks.shape
-        walk_embeds = table[walks.reshape(A_S * W, L)]          # (A_S*W, L, D)
+        nl, A_S, W, L = int_walks.shape
+        walks = jnp.concatenate([int_walks, bor_walks], axis=0)  # (2nl,A,W,L)
+        walk_embeds = table[walks.reshape(2 * nl * A_S * W, L)]
         hidden = lstm_forward(params["lstm"], walk_embeds,
                               aggregator=hp.lstm_aggregator,
                               dropout=hp.lstm_dropout, train=train, rng=rng)
-        return hidden.reshape(A_S, W, -1).sum(axis=1)           # (A_S, D)
+        emb = hidden.reshape(2 * nl, A_S, W, -1).sum(axis=2)
+        return emb[:nl], emb[nl:]
 
     def _batch_norm(self, p, s, x, *, train):
         """BN over the flattened (B*C, D) view incl. padded rows
@@ -228,6 +239,15 @@ class SubGNNModel:
         N_in, N_out = ch_cc["N_I"], ch_cc["N_B"]
         P_in, P_out = ch_cc["P_I"], ch_cc["P_B"]
         S_in, S_out = ch_cc["S_I"], ch_cc["S_B"]
+
+        if hp.use_structure:
+            if rng is not None:
+                rng, r_lstm = jax.random.split(rng)
+            else:
+                r_lstm = None
+            emb_int_all, emb_bor_all = self._struct_anchor_embeds(
+                params, table, anchors["struc_int_walks"],
+                anchors["struc_bor_walks"], train=train, rng=r_lstm)
 
         def np_sims_gather(anchor_ids):
             # sims[b,c,a] = NP_sim[b, c, anchor_id-1]; invalid slots are
@@ -287,16 +307,7 @@ class SubGNNModel:
             if hp.use_structure:
                 layer_p = params["channels"]["structure"][l]
                 pool_idx = anchors["struc_pool_idx"][l]          # (A_S,)
-                if rng is not None:
-                    rng, r1, r2 = jax.random.split(rng, 3)
-                else:
-                    r1 = r2 = None
-                emb_int = self._struct_anchor_embeds(
-                    params, table, anchors["struc_int_walks"][l],
-                    train=train, rng=r1)                          # (A_S, D)
-                emb_bor = self._struct_anchor_embeds(
-                    params, table, anchors["struc_bor_walks"][l],
-                    train=train, rng=r2)
+                emb_int, emb_bor = emb_int_all[l], emb_bor_all[l]  # (A_S, D)
                 valid = jnp.broadcast_to(cc_mask[:, :, None],
                                          (B, C, pool_idx.shape[0]))
 

@@ -115,6 +115,10 @@ def shortest_path_matrix(graph: CSRGraph, backend: str = "auto") -> np.ndarray:
         backend = "device" if n <= 4096 else "host"
     if backend == "device":
         return _bfs_device(graph)
+    # host path: prefer the multithreaded C++ kernel when built
+    from ..ops import native
+    if native.is_available():
+        return native.bfs_all_pairs(graph)
     sources = np.arange(1, n + 1, dtype=np.int64)
     return _bfs_from_sources_host(graph, sources)
 
