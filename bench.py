@@ -59,15 +59,25 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = jax.random.PRNGKey(0)
+    iters = 50
+
+    # run the whole measured loop on device (one dispatch) so host/link
+    # latency does not pollute the per-step number
+    @jax.jit
+    def run_steps(params, opt_state, batch):
+        def body(i, carry):
+            p, o, _ = carry
+            return train_step(p, o, batch, jax.random.fold_in(rng, i))
+
+        return jax.lax.fori_loop(0, iters, body,
+                                 (params, opt_state, jnp.float32(0)))
+
     # warmup / compile
-    params2, opt2, loss = train_step(params, opt_state, batch, rng)
+    p, o, loss = run_steps(params, opt_state, batch)
     jax.block_until_ready(loss)
 
-    iters = 30
     t0 = time.perf_counter()
-    p, o = params2, opt2
-    for i in range(iters):
-        p, o, loss = train_step(p, o, batch, jax.random.fold_in(rng, i))
+    p, o, loss = run_steps(p, o, batch)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

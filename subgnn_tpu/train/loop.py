@@ -23,6 +23,20 @@ from ..config import HParams
 from ..models.subgnn import SubGNNModel
 from . import metrics as M
 from .checkpoint import TopKCheckpoints
+from .tb_writer import TBWriter
+
+
+def mpn_edges_per_step(hp: HParams, batch_size: int, max_n_cc: int) -> int:
+    """Anchor-patch->CC message edges processed by one training step (the
+    throughput unit of bench.py and the per-epoch counters)."""
+    per_layer = 0
+    if hp.use_neighborhood:
+        per_layer += hp.n_anchor_patches_N_in + hp.n_anchor_patches_N_out
+    if hp.use_position:
+        per_layer += hp.n_anchor_patches_pos_in + hp.n_anchor_patches_pos_out
+    if hp.use_structure:
+        per_layer += 2 * hp.n_anchor_patches_structure
+    return batch_size * max_n_cc * per_layer * hp.n_layers
 
 
 def make_optimizer(hp: HParams):
@@ -45,12 +59,14 @@ class Trainer:
     def __init__(self, model: SubGNNModel, hp: HParams,
                  ckpt_dir: Optional[str] = None,
                  monitor: str = "val_micro_f1", checkpoint_k: int = 3,
-                 eval_cc_tables: Optional[Dict[str, Any]] = None):
+                 eval_cc_tables: Optional[Dict[str, Any]] = None,
+                 tb_dir: Optional[str] = None):
         self.model = model
         self.hp = hp
         self.monitor = monitor
         self.ckpt = (TopKCheckpoints(ckpt_dir, checkpoint_k, monitor)
                      if ckpt_dir else None)
+        self.tb = TBWriter(tb_dir) if tb_dir else None
         self.metric_scores = []  # per-epoch dicts (reference: SubGNN.py:190)
         self.eval_cc_tables = eval_cc_tables or {}
         self.tx = make_optimizer(hp)
@@ -146,6 +162,8 @@ class Trainer:
         rng_np = np.random.default_rng(seed)
         drop_last = hp.batch_size <= len(train_data)
 
+        edges_per_step = mpn_edges_per_step(hp, hp.batch_size,
+                                            train_data.cc_ids.shape[1])
         for epoch in range(hp.max_epochs):
             t0 = time.time()
             train_losses = []
@@ -159,12 +177,17 @@ class Trainer:
                                        jbatch, anchors_by_split["train"], rng)
                 train_losses.append(float(loss))
                 self.global_step += 1
+            train_time = time.time() - t0
 
             val_metrics = self.evaluate(val_data, anchors_by_split["val"], "val")
             val_metrics["train_loss"] = float(np.mean(train_losses))
             val_metrics["epoch"] = epoch
             val_metrics["epoch_time_s"] = time.time() - t0
+            val_metrics["train_edges_per_s"] = (
+                edges_per_step * len(train_losses) / max(train_time, 1e-9))
             self.metric_scores.append(val_metrics)
+            if self.tb:
+                self.tb.add_scalars(val_metrics, epoch)
             if self.ckpt:
                 self.ckpt.maybe_save(epoch, val_metrics, self.params,
                                      self.state, self.opt_state)

@@ -263,9 +263,10 @@ class SubGNNPipeline:
             params = load_params_filtered(restore_path, params)
 
         ckpt_dir = self.results_dir / "checkpoints" if self.results_dir else None
+        tb_dir = self.results_dir / "tb" if self.results_dir else None
         trainer = Trainer(model, hp, ckpt_dir=ckpt_dir,
                           monitor=self.rc.monitor_metric,
-                          eval_cc_tables=eval_cc)
+                          eval_cc_tables=eval_cc, tb_dir=tb_dir)
         if self.results_dir:
             dump_json(self.results_dir / "hyperparams.json", hp.to_dict())
 
