@@ -16,7 +16,7 @@ import string
 from pathlib import Path
 
 from ..config import HParams, RunConfig
-from ..train.hpo import Study, Trial, hyperparams_from_config
+from ..train.hpo import Study, Trial, TrialPruned, hyperparams_from_config
 from ..train.runner import SubGNNPipeline
 
 
@@ -37,7 +37,13 @@ def run_study(config_path: str, project_root: str | None = None,
         version = "version_" + str(random.randint(0, 10_000_000))
         results_dir = study_dir / version
         pipe = SubGNNPipeline(rc, hp, results_dir=results_dir)
-        out = pipe.run(log_fn=log_fn)
+
+        def metrics_callback(epoch, metrics):
+            trial.report(metrics.get(rc.monitor_metric, float("nan")), epoch)
+            if rc.pruning and trial.should_prune():
+                raise TrialPruned()
+
+        out = pipe.run(log_fn=log_fn, metrics_callback=metrics_callback)
         return out["best_monitor"]
 
     study.optimize(objective, n)

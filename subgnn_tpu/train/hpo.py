@@ -25,15 +25,48 @@ except ImportError:
     HAS_OPTUNA = False
 
 
+class TrialPruned(Exception):
+    """Raised inside an objective to stop an unpromising trial early."""
+
+
 class Trial:
     """Minimal optuna.Trial stand-in (suggest_* API subset used by the
-    reference configs)."""
+    reference configs, plus report/should_prune for median pruning)."""
 
     def __init__(self, rng: np.random.Generator,
-                 fixed: Optional[Dict[str, Any]] = None):
+                 fixed: Optional[Dict[str, Any]] = None,
+                 study: "Study | None" = None):
         self.rng = rng
         self.params: Dict[str, Any] = {}
         self.fixed = fixed or {}
+        self.study = study
+        self.intermediate: Dict[int, float] = {}
+
+    # --- pruning (median pruner semantics like optuna.pruners.MedianPruner,
+    # the reference's pruner at train_config.py:242-243) ---
+
+    def report(self, value: float, step: int):
+        self.intermediate[step] = float(value)
+
+    def should_prune(self, n_warmup_steps: int = 5,
+                     n_min_trials: int = 2) -> bool:
+        if self.study is None or not self.intermediate:
+            return False
+        step = max(self.intermediate)
+        if step < n_warmup_steps:
+            return False
+        peers = [t["intermediate"].get(str(step)) for t in self.study.trials
+                 if t.get("intermediate")]
+        peers = [p for p in peers if p is not None]
+        if len(peers) < n_min_trials:
+            return False
+        median = float(np.median(peers))
+        best_so_far = max(self.intermediate.values()) \
+            if self.study.direction == "maximize" \
+            else min(self.intermediate.values())
+        if self.study.direction == "maximize":
+            return best_so_far < median
+        return best_so_far > median
 
     def _record(self, name, value):
         self.params[name] = value
@@ -126,17 +159,30 @@ class Study:
         for t in range(start, n_trials):
             rng = np.random.default_rng([self.seed, t])
             fixed = self.grid[t % len(self.grid)] if self.grid else None
-            trial = Trial(rng, fixed)
-            value = objective(trial)
-            self.trials.append({"number": t, "value": float(value),
-                                "params": trial.params})
+            trial = Trial(rng, fixed, study=self)
+            pruned = False
+            try:
+                value = objective(trial)
+            except TrialPruned:
+                pruned = True
+                vals = trial.intermediate.values()
+                value = ((max(vals) if self.direction == "maximize"
+                          else min(vals)) if vals else float("nan"))
+            self.trials.append({
+                "number": t, "value": float(value), "params": trial.params,
+                "pruned": pruned,
+                "intermediate": {str(k): v
+                                 for k, v in trial.intermediate.items()}})
             self._save()
         return self
 
     @property
     def best_trial(self) -> Dict[str, Any]:
-        key = (lambda t: t["value"]) if self.direction == "maximize" \
-            else (lambda t: -t["value"])
+        def key(t):
+            v = t["value"]
+            if not np.isfinite(v):
+                return float("-inf")
+            return v if self.direction == "maximize" else -v
         return max(self.trials, key=key)
 
     @property

@@ -150,13 +150,37 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
 
+    def resume_from(self, ckpt_path) -> int:
+        """Restore params/state/opt_state from a checkpoint; returns the
+        epoch to continue from (checkpoint-based restart, the TPU-side
+        answer to elastic recovery — the reference has none, SURVEY §5)."""
+        from .checkpoint import load_checkpoint
+        payload = load_checkpoint(ckpt_path)
+        self._resume = payload
+        return int(payload["meta"].get("epoch", -1)) + 1
+
     def fit(self, params, state, train_data, val_data,
             anchors_by_split: Dict[str, Any], seed: int = 0,
             on_epoch_end: Optional[Callable[[int], Dict[str, Any]]] = None,
-            log_fn: Optional[Callable[[str], None]] = print) -> Dict[str, Any]:
+            log_fn: Optional[Callable[[str], None]] = print,
+            start_epoch: int = 0,
+            metrics_callback: Optional[Callable[[int, Dict[str, Any]], None]] = None,
+            profile_dir: Optional[str] = None) -> Dict[str, Any]:
         hp = self.hp
         self.params, self.state = params, state
         self.opt_state = self.tx.init(params)
+        if getattr(self, "_resume", None) is not None:
+            r = self._resume
+            self.params = jax.tree_util.tree_map(jnp.asarray, r["params"])
+            if r["state"] is not None:
+                self.state = jax.tree_util.tree_map(jnp.asarray, r["state"])
+            if r["opt_state"] is not None:
+                self.opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, r["opt_state"],
+                    is_leaf=lambda x: x is None)
+            self._resume = None
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         self._build_steps(anchors_by_split)
         base_rng = jax.random.PRNGKey(seed)
         rng_np = np.random.default_rng(seed)
@@ -197,10 +221,14 @@ class Trainer:
                        f"val_acc={val_metrics['val_acc']:.4f} "
                        f"val_auroc={val_metrics['val_auroc']:.4f} "
                        f"({val_metrics['epoch_time_s']:.1f}s)")
+            if metrics_callback is not None:
+                metrics_callback(epoch, val_metrics)  # may raise (pruning)
             if on_epoch_end is not None:
                 new_anchors = on_epoch_end(epoch)
                 if new_anchors:
                     anchors_by_split.update(new_anchors)
+        if profile_dir:
+            jax.profiler.stop_trace()
         return self.metric_scores[-1] if self.metric_scores else {}
 
     def best_monitor_value(self) -> float:

@@ -250,7 +250,8 @@ class SubGNNPipeline:
     # ------------------------------------------------------------------- run
 
     def run(self, seed: Optional[int] = None, log_fn=print,
-            restore_path: Optional[str | Path] = None) -> Dict[str, Any]:
+            restore_path: Optional[str | Path] = None,
+            metrics_callback=None) -> Dict[str, Any]:
         """Full train + test cycle; writes the reference's JSON artifacts
         (hyperparams.json, final_metric_scores.json, test_results.json)."""
         hp = self.hp
@@ -277,8 +278,18 @@ class SubGNNPipeline:
 
         train_data = self.split_data("train")
         val_data = self.split_data("val")
-        trainer.fit(params, state, train_data, val_data, anchors, seed=seed,
-                    on_epoch_end=on_epoch_end, log_fn=log_fn)
+        try:
+            trainer.fit(params, state, train_data, val_data, anchors,
+                        seed=seed, on_epoch_end=on_epoch_end, log_fn=log_fn,
+                        metrics_callback=metrics_callback)
+        except Exception:
+            # persist whatever was learned before re-raising (pruned trials
+            # still dump final_metric_scores like the reference's pruner)
+            if self.results_dir and trainer.metric_scores:
+                dump_json(self.results_dir / "final_metric_scores.json",
+                          dict(trainer.metric_scores[-1]))
+            self.trainer = trainer
+            raise
 
         if self.results_dir and trainer.metric_scores:
             dump_json(self.results_dir / "final_metric_scores.json",
