@@ -54,12 +54,14 @@ def init_lstm_params(key, n_features: int, h: int, num_layers: int = 1):
 def _cell_scan(p, x, reverse: bool):
     """Run one direction over (B, T, in) -> (B, T, h)."""
     B = x.shape[0]
+    dt = x.dtype
     h_dim = p["w_hh"].shape[0]
-    xw = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"])  # (B, T, 4h), precomputed
+    w_hh = p["w_hh"].astype(dt)
+    xw = x @ p["w_ih"].astype(dt) + (p["b_ih"] + p["b_hh"]).astype(dt)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + h @ p["w_hh"]
+        gates = xt + h @ w_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -67,7 +69,7 @@ def _cell_scan(p, x, reverse: bool):
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((B, h_dim), x.dtype), jnp.zeros((B, h_dim), x.dtype))
+    init = (jnp.zeros((B, h_dim), dt), jnp.zeros((B, h_dim), dt))
     _, hs = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1), reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)  # (B, T, h)
 
@@ -91,4 +93,5 @@ def lstm_forward(params, x, *, aggregator: str = "last",
         agg = out.sum(axis=1)
     else:
         raise NotImplementedError(aggregator)
-    return agg @ params["head"]["w"] + params["head"]["b"]
+    dt = agg.dtype
+    return agg @ params["head"]["w"].astype(dt) + params["head"]["b"].astype(dt)

@@ -55,18 +55,21 @@ def mpn_layer(params, cc_embeds, anchor_embeds, sims, anchor_valid, *,
 
     Returns (updated_cc (B,C,D), prop (B,C,A)).
     """
-    w = jnp.where(anchor_valid, sims, 0.0)[..., None]        # (B,C,A,1)
+    dt = anchor_embeds.dtype
+    w = jnp.where(anchor_valid, sims, 0.0)[..., None].astype(dt)  # (B,C,A,1)
     msgs = w * anchor_embeds                                  # (B,C,A,D)
     agg = msgs.sum(axis=2)                                    # (B,C,D)
 
     if use_mpn_projection:
-        x = jnp.concatenate([cc_embeds, agg], axis=-1)        # (B,C,2D)
-        updated = jax.nn.relu(x @ params["linear"]["w"] + params["linear"]["b"])
+        x = jnp.concatenate([cc_embeds.astype(dt), agg], axis=-1)  # (B,C,2D)
+        updated = jax.nn.relu(
+            x @ params["linear"]["w"].astype(dt)
+            + params["linear"]["b"].astype(dt))
     else:
         updated = agg
 
-    prop = (msgs @ params["linear_position"]["w"]
-            + params["linear_position"]["b"])[..., 0]         # (B,C,A)
+    prop = (msgs @ params["linear_position"]["w"].astype(dt)
+            + params["linear_position"]["b"].astype(dt))[..., 0]  # (B,C,A)
     if norm_pos_struc_embed:
         norm = jnp.linalg.norm(prop, axis=-1, keepdims=True)
         prop = prop / jnp.maximum(norm, 1e-12)

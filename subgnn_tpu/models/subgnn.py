@@ -223,6 +223,10 @@ class SubGNNModel:
         """
         hp = self.hp
         table = self._table(params)
+        if hp.dtype == "bfloat16":
+            # bf16 activations/matmuls (MXU native), fp32 master weights;
+            # logits return to fp32 before the loss
+            table = table.astype(jnp.bfloat16)
         cc_ids = batch["cc_ids"]
         sub_idx = batch["subgraph_idx"]
         B, C, _ = cc_ids.shape
@@ -345,17 +349,20 @@ class SubGNNModel:
 
         # 3-layer head with optional dropout (reference: SubGNN.py:306-310)
         h = params["head"]
-        x = jax.nn.relu(sg_embed @ h["lin1"]["w"] + h["lin1"]["b"])
+        dt = sg_embed.dtype
+        x = jax.nn.relu(sg_embed @ h["lin1"]["w"].astype(dt)
+                        + h["lin1"]["b"].astype(dt))
         if train and hp.lin_dropout > 0:
             rng, sub = jax.random.split(rng)
             keep = jax.random.bernoulli(sub, 1.0 - hp.lin_dropout, x.shape)
             x = jnp.where(keep, x / (1.0 - hp.lin_dropout), 0.0)
-        x = jax.nn.relu(x @ h["lin2"]["w"] + h["lin2"]["b"])
+        x = jax.nn.relu(x @ h["lin2"]["w"].astype(dt) + h["lin2"]["b"].astype(dt))
         if train and hp.lin_dropout > 0:
             rng, sub = jax.random.split(rng)
             keep = jax.random.bernoulli(sub, 1.0 - hp.lin_dropout, x.shape)
             x = jnp.where(keep, x / (1.0 - hp.lin_dropout), 0.0)
-        logits = x @ h["lin3"]["w"] + h["lin3"]["b"]
+        logits = (x @ h["lin3"]["w"].astype(dt)
+                  + h["lin3"]["b"].astype(dt)).astype(jnp.float32)
 
         if hp.batch_norm:
             new_state["bn"] = bn_state

@@ -285,3 +285,18 @@ def test_trainable_cc_tables(rng):
     logits, _ = model.forward(params, state, batch, anchors, train=False,
                               rng=None, cc_tables=params["train_cc"])
     assert logits.shape == (6, 3)
+
+
+def test_bf16_forward_close_to_fp32(rng):
+    import jax.numpy as jnp
+    model, params, state, batch, anchors, _ = build_toy(HP, rng)
+    logits32, _ = model.forward(params, state, batch, anchors, train=False,
+                                rng=None)
+    model16 = SubGNNModel(HP.replace(dtype="bfloat16"), model.n_nodes,
+                          model.num_classes, model.multilabel)
+    logits16, _ = model16.forward(params, state, batch, anchors, train=False,
+                                  rng=None)
+    assert logits16.dtype == jnp.float32  # logits return to fp32
+    rel = np.abs(np.asarray(logits16) - np.asarray(logits32))
+    scale = np.abs(np.asarray(logits32)).mean() + 1e-6
+    assert (rel.mean() / scale) < 0.1, (rel.mean(), scale)
