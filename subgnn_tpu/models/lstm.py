@@ -51,20 +51,29 @@ def init_lstm_params(key, n_features: int, h: int, num_layers: int = 1):
     }
 
 
+def _gates(xt, h, w_hh):
+    gates = xt + h @ w_hh
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    return i, f, jnp.tanh(g), o
+
+
+def _precompute_xw(p, x):
+    dt = x.dtype
+    return x @ p["w_ih"].astype(dt) + (p["b_ih"] + p["b_hh"]).astype(dt)
+
+
 def _cell_scan(p, x, reverse: bool):
     """Run one direction over (B, T, in) -> (B, T, h)."""
     B = x.shape[0]
     dt = x.dtype
     h_dim = p["w_hh"].shape[0]
     w_hh = p["w_hh"].astype(dt)
-    xw = x @ p["w_ih"].astype(dt) + (p["b_ih"] + p["b_hh"]).astype(dt)
+    xw = _precompute_xw(p, x)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + h @ w_hh
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        g = jnp.tanh(g)
+        i, f, g, o = _gates(xt, h, w_hh)
         c = f * c + i * g
         h = o * jnp.tanh(c)
         return (h, c), h
@@ -74,12 +83,58 @@ def _cell_scan(p, x, reverse: bool):
     return jnp.swapaxes(hs, 0, 1)  # (B, T, h)
 
 
+def _cell_reduce(p, x, reverse: bool, mode: str):
+    """One direction, returning only the aggregate the caller needs:
+    mode='final' -> h after the full pass (B, h); mode='sum' -> sum_t h_t.
+    No per-step output stacking — the scan carries (h, c[, acc]) only."""
+    B = x.shape[0]
+    dt = x.dtype
+    h_dim = p["w_hh"].shape[0]
+    w_hh = p["w_hh"].astype(dt)
+    xw = _precompute_xw(p, x)
+
+    def step(carry, xt):
+        h, c, acc = carry
+        i, f, g, o = _gates(xt, h, w_hh)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c, acc + h if mode == "sum" else acc), None
+
+    zero = jnp.zeros((B, h_dim), dt)
+    (h, c, acc), _ = jax.lax.scan(step, (zero, zero, zero),
+                                  jnp.swapaxes(xw, 0, 1), reverse=reverse)
+    return acc if mode == "sum" else h
+
+
+def _cell_single_step(p, x_t):
+    """One cell application from zero state on a single timestep (B, in).
+
+    For aggregator='last', the BACKWARD direction's output at the last
+    timestep has consumed exactly one input (x_{T-1} with h=c=0), so the
+    whole reverse scan collapses to this single step.
+    """
+    dt = x_t.dtype
+    xw = (x_t @ p["w_ih"].astype(dt) + (p["b_ih"] + p["b_hh"]).astype(dt))
+    i, f, g, o = _gates(xw, jnp.zeros_like(xw[..., : p["w_hh"].shape[0]]),
+                        p["w_hh"].astype(dt))
+    c = i * g
+    return o * jnp.tanh(c)
+
+
 def lstm_forward(params, x, *, aggregator: str = "last",
                  dropout: float = 0.0, train: bool = False, rng=None):
-    """x: (B, T, n_features) -> (B, n_features)."""
+    """x: (B, T, n_features) -> (B, n_features).
+
+    Only the LAST layer's reduced quantity is materialized: with 'last' the
+    forward direction runs an output-free scan and the backward direction is
+    a single cell step (its hidden at timestep T-1 has seen one input);
+    with 'sum' both directions accumulate in the scan carry. Inner stacked
+    layers still produce full sequences (the next layer consumes them).
+    Numerics identical to the full-output formulation (torch-parity tests).
+    """
     out = x
     n_layers = len(params["layers"])
-    for li, layer in enumerate(params["layers"]):
+    for li, layer in enumerate(params["layers"][:-1]):
         fwd = _cell_scan(layer["fwd"], out, reverse=False)
         bwd = _cell_scan(layer["bwd"], out, reverse=True)
         out = jnp.concatenate([fwd, bwd], axis=-1)  # (B, T, 2h)
@@ -87,10 +142,16 @@ def lstm_forward(params, x, *, aggregator: str = "last",
             rng, sub = jax.random.split(rng)
             keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
             out = jnp.where(keep, out / (1.0 - dropout), 0.0)
+
+    last = params["layers"][-1]
     if aggregator == "last":
-        agg = out[:, -1, :]
+        fwd_h = _cell_reduce(last["fwd"], out, reverse=False, mode="final")
+        bwd_h = _cell_single_step(last["bwd"], out[:, -1, :])
+        agg = jnp.concatenate([fwd_h, bwd_h], axis=-1)
     elif aggregator == "sum":
-        agg = out.sum(axis=1)
+        fwd_s = _cell_reduce(last["fwd"], out, reverse=False, mode="sum")
+        bwd_s = _cell_reduce(last["bwd"], out, reverse=True, mode="sum")
+        agg = jnp.concatenate([fwd_s, bwd_s], axis=-1)
     else:
         raise NotImplementedError(aggregator)
     dt = agg.dtype
