@@ -100,10 +100,19 @@ class SubGNNPipeline:
         all cached under <task>/similarities with reference-compatible
         filenames (reference: SubGNN.py:673-989)."""
         assert self._loaded
+        import time as _time
         rc, hp = self.rc, self.hp
         sim_dir = rc.similarities_path()
         sim_dir.mkdir(parents=True, exist_ok=True)
         recompute = hp.compute_similarities
+        _t0 = _time.time()
+
+        def _stage(name):
+            nonlocal _t0
+            dt = _time.time() - _t0
+            if dt > 5:
+                print(f"[precompute] {name}: {dt:.1f}s", flush=True)
+            _t0 = _time.time()
 
         self.border = {s: None for s in SPLITS}
         if hp.use_neighborhood:
@@ -113,6 +122,7 @@ class SubGNNPipeline:
                     lambda s=s: compute_border_sets(
                         self.graph, self.cc_ids[s], hp.neigh_sample_border_size),
                     recompute)
+        _stage("border sets")
 
         self.np_sim = {s: None for s in SPLITS}
         if hp.use_neighborhood or hp.use_position:
@@ -128,6 +138,7 @@ class SubGNNPipeline:
                     lambda s=s: compute_shortest_path_similarities(
                         shortest, self.cc_ids[s]),
                     recompute).astype(np.float32)
+        _stage("NP similarities")
 
         self.int_s_sim = {s: None for s in SPLITS}
         self.bor_s_sim = {s: None for s in SPLITS}
@@ -139,6 +150,7 @@ class SubGNNPipeline:
                 lambda: sample_structure_anchor_patches(
                     self.graph, hp, hp.seed, hp.max_sim_epochs),
                 recompute).astype(np.int32)
+            _stage("structure pool")
             self.int_walks = cached(
                 struc_walks_path(sim_dir, hp, True),
                 lambda: perform_random_walks(self.graph, hp,
@@ -151,6 +163,7 @@ class SubGNNPipeline:
                                              self.structure_anchors, False,
                                              hp.seed),
                 recompute).astype(np.int32)
+            _stage("structure walks")
             for s in SPLITS:
                 self.int_s_sim[s] = cached(
                     struc_sim_path(sim_dir, hp, True, s),
@@ -164,6 +177,7 @@ class SubGNNPipeline:
                         self.graph, self.cc_ids[s], self.structure_anchors,
                         internal=False),
                     recompute).astype(np.float32)
+            _stage("structure DTW similarities")
         return self
 
     # --------------------------------------------------------------- anchors
