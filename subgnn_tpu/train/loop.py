@@ -106,6 +106,101 @@ class Trainer:
         self._train_step = jax.jit(train_step)
         self._eval_step = jax.jit(eval_step, static_argnames=())
 
+    # ------------------------------------------------------- fused epochs
+
+    @staticmethod
+    def _device_split(data) -> Dict[str, Any]:
+        """Move a whole split's arrays to device once (fused-epoch mode)."""
+        return {
+            "cc_ids": jnp.asarray(data.cc_ids),
+            "label": jnp.asarray(data.labels),
+            "NP_sim": jnp.asarray(data.NP_sim) if data.NP_sim is not None else None,
+            "I_S_sim": jnp.asarray(data.I_S_sim) if data.I_S_sim is not None else None,
+            "B_S_sim": jnp.asarray(data.B_S_sim) if data.B_S_sim is not None else None,
+        }
+
+    @staticmethod
+    def _gather_batch(split_arrays, idx, valid):
+        batch = {k: (v[idx] if v is not None else None)
+                 for k, v in split_arrays.items()}
+        batch["subgraph_idx"] = idx
+        batch["valid"] = valid
+        return batch
+
+    def _build_fused(self, train_arrays, val_arrays, anchors_by_split,
+                     base_rng):
+        """One dispatch per train epoch and one per eval epoch: lax.scan
+        over the epoch's batch index matrix with the split arrays resident
+        on device. Removes the per-step host->device round trip, which
+        dominates wall time when the host link is remote."""
+        model, hp, tx = self.model, self.hp, self.tx
+        train_anchors = anchors_by_split["train"]
+        val_anchors = anchors_by_split["val"]
+
+        def train_epoch(params, opt_state, state, order, step0):
+            # order: (n_batches, B) int32 of subgraph indices
+            def body(carry, inp):
+                params, opt_state, state, step = carry
+                idx = inp
+                batch = self._gather_batch(train_arrays, idx,
+                                           jnp.ones_like(idx, bool))
+                rng = jax.random.fold_in(base_rng, step)
+
+                def loss_fn(p):
+                    logits, new_state = model.forward(
+                        p, state, batch, train_anchors, train=True, rng=rng,
+                        cc_tables=p.get("train_cc"))
+                    loss = model.loss_fn(logits, batch["label"], batch["valid"])
+                    return loss, new_state
+
+                (loss, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, new_state, step + 1), loss
+
+            (params, opt_state, state, _), losses = jax.lax.scan(
+                body, (params, opt_state, state, step0), order)
+            return params, opt_state, state, losses
+
+        def eval_epoch(params, state, order, valid, cc_tables):
+            def body(_, inp):
+                idx, v = inp
+                batch = self._gather_batch(val_arrays, idx, v)
+                logits, _ = model.forward(params, state, batch, val_anchors,
+                                          train=False, rng=None,
+                                          cc_tables=cc_tables)
+                loss = model.loss_fn(logits, batch["label"], batch["valid"])
+                return None, (loss, logits)
+
+            _, (losses, logits) = jax.lax.scan(body, None, (order, valid))
+            return losses, logits
+
+        self._fused_train_epoch = jax.jit(train_epoch)
+        self._fused_eval_epoch = jax.jit(eval_epoch)
+
+    @staticmethod
+    def _epoch_order(n, batch_size, rng_np, drop_last):
+        order = np.arange(n)
+        rng_np.shuffle(order)
+        n_batches = n // batch_size if drop_last else -(-n // batch_size)
+        if n_batches == 0:
+            return None
+        take = order[: n_batches * batch_size]
+        if len(take) < n_batches * batch_size:
+            take = np.concatenate(
+                [take, np.zeros(n_batches * batch_size - len(take), np.int64)])
+        return take.reshape(n_batches, batch_size).astype(np.int32)
+
+    @staticmethod
+    def _split_bytes(data) -> int:
+        total = 0
+        for name in ("cc_ids", "NP_sim", "I_S_sim", "B_S_sim"):
+            arr = getattr(data, name)
+            if arr is not None:
+                total += arr.nbytes
+        return total
+
     # ----------------------------------------------------------------- eval
 
     def evaluate(self, data, anchors, split: str = "val") -> Dict[str, Any]:
@@ -132,6 +227,10 @@ class Trainer:
             f1s.append(M.calc_f1(logits, labels, "macro", model.multilabel))
         logits = np.concatenate(logits_all)
         labels = np.concatenate(labels_all)
+        return self._metrics(split, logits, labels, losses, accs, f1s)
+
+    def _metrics(self, split, logits, labels, losses, accs, f1s):
+        model = self.model
         p = split  # metric key prefix
         auroc, per_class = M.roc_auc_ovr(logits, labels, model.multilabel)
         out = {
@@ -186,24 +285,79 @@ class Trainer:
         rng_np = np.random.default_rng(seed)
         drop_last = hp.batch_size <= len(train_data)
 
+        # Fused-epoch mode: whole split resident on device, one dispatch per
+        # train epoch + one per eval. On by default when the split fits and
+        # batches are uniform; per-step streaming otherwise (huge datasets,
+        # short-batch training, per-epoch anchor resampling).
+        fused = (drop_last and not hp.resample_anchor_patches
+                 and (self._split_bytes(train_data)
+                      + self._split_bytes(val_data)) < (1 << 30))
+        if fused:
+            train_arrays = self._device_split(train_data)
+            val_arrays = self._device_split(val_data)
+            self._build_fused(train_arrays, val_arrays, anchors_by_split,
+                              base_rng)
+            n_val = len(val_data)
+            nb_val = -(-n_val // hp.batch_size)
+            val_idx = np.arange(nb_val * hp.batch_size) % n_val
+            val_order = jnp.asarray(
+                val_idx.reshape(nb_val, hp.batch_size).astype(np.int32))
+            val_valid = jnp.asarray(
+                (np.arange(nb_val * hp.batch_size) < n_val)
+                .reshape(nb_val, hp.batch_size))
+            val_cc_tables = None
+            if hp.trainable_cc:
+                val_cc_tables = self.eval_cc_tables.get("val")
+
         edges_per_step = mpn_edges_per_step(hp, hp.batch_size,
                                             train_data.cc_ids.shape[1])
         for epoch in range(hp.max_epochs):
             t0 = time.time()
-            train_losses = []
-            for batch in train_data.batches(hp.batch_size, shuffle=True,
-                                            drop_last=drop_last, rng=rng_np):
-                jbatch = {k: (jnp.asarray(v) if v is not None else None)
-                          for k, v in batch.items()}
-                rng = jax.random.fold_in(base_rng, self.global_step)
-                (self.params, self.opt_state, self.state, loss,
-                 _) = self._train_step(self.params, self.opt_state, self.state,
-                                       jbatch, anchors_by_split["train"], rng)
-                train_losses.append(float(loss))
-                self.global_step += 1
+            if fused:
+                order = self._epoch_order(len(train_data), hp.batch_size,
+                                          rng_np, drop_last)
+                (self.params, self.opt_state, self.state,
+                 losses) = self._fused_train_epoch(
+                     self.params, self.opt_state, self.state,
+                     jnp.asarray(order), jnp.int32(self.global_step))
+                self.global_step += order.shape[0]
+                train_losses = list(np.asarray(losses, np.float64))
+            else:
+                train_losses = []
+                for batch in train_data.batches(hp.batch_size, shuffle=True,
+                                                drop_last=drop_last, rng=rng_np):
+                    jbatch = {k: (jnp.asarray(v) if v is not None else None)
+                              for k, v in batch.items()}
+                    rng = jax.random.fold_in(base_rng, self.global_step)
+                    (self.params, self.opt_state, self.state, loss,
+                     _) = self._train_step(self.params, self.opt_state,
+                                           self.state, jbatch,
+                                           anchors_by_split["train"], rng)
+                    train_losses.append(float(loss))
+                    self.global_step += 1
             train_time = time.time() - t0
 
-            val_metrics = self.evaluate(val_data, anchors_by_split["val"], "val")
+            if fused:
+                v_losses, v_logits = self._fused_eval_epoch(
+                    self.params, self.state, val_order, val_valid,
+                    val_cc_tables)
+                v_logits = np.asarray(v_logits)
+                v_valid = np.asarray(val_valid)
+                flat_logits = v_logits.reshape(-1, v_logits.shape[-1])[
+                    v_valid.reshape(-1)]
+                labels_np = np.asarray(val_data.labels)
+                flat_labels = labels_np[np.asarray(val_order).reshape(-1)[
+                    v_valid.reshape(-1)]]
+                accs = [M.calc_accuracy(flat_logits, flat_labels,
+                                        self.model.multilabel)]
+                f1s = [M.calc_f1(flat_logits, flat_labels, "macro",
+                                 self.model.multilabel)]
+                val_metrics = self._metrics(
+                    "val", flat_logits, flat_labels,
+                    list(np.asarray(v_losses, np.float64)), accs, f1s)
+            else:
+                val_metrics = self.evaluate(val_data, anchors_by_split["val"],
+                                            "val")
             val_metrics["train_loss"] = float(np.mean(train_losses))
             val_metrics["epoch"] = epoch
             val_metrics["epoch_time_s"] = time.time() - t0
