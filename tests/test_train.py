@@ -139,3 +139,33 @@ def test_freeze_node_embeds(rng):
                 seed=0, log_fn=None)
     np.testing.assert_array_equal(np.asarray(trainer.params["node_embed"]),
                                   before)
+
+
+def test_trainer_resume(rng, tmp_path):
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(max_epochs=3, batch_size=6)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    t1 = Trainer(model, hp, ckpt_dir=tmp_path)
+    t1.fit(params, state, data, data, {"train": anchors, "val": anchors},
+           seed=0, log_fn=None)
+    ckpt = t1.ckpt.best_path
+    assert ckpt is not None
+
+    t2 = Trainer(model, hp.replace(max_epochs=1))
+    start = t2.resume_from(ckpt)
+    assert start >= 1
+    t2.fit(params, state, data, data, {"train": anchors, "val": anchors},
+           seed=0, log_fn=None)
+    # resumed params differ from the fresh init (they continued training)
+    diff = float(jnp.abs(t2.params["head"]["lin1"]["w"]
+                         - params["head"]["lin1"]["w"]).max())
+    assert diff > 0
