@@ -84,3 +84,39 @@ def test_pipeline_structure_only(density_dataset, tmp_path):
     pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
     out = pipe.run(log_fn=None)
     assert 0.0 <= out["test"]["test_acc"] <= 1.0
+
+
+def test_full_pipeline_multilabel(density_dataset, tmp_path):
+    """Exercise the multilabel path end-to-end (HPO-NEURO-shaped data):
+    rewrite the density TSV with 1-2 dash-joined labels per subgraph."""
+    root, task_dir, _, _ = density_dataset
+    import shutil
+    ml_dir = root / "density_ml"
+    ml_dir.mkdir(exist_ok=True)
+    for f in ("edge_list.txt", "gin_embeddings.npy", "gin_embeddings.pth",
+              "shortest_path_matrix.npy"):
+        src = task_dir / f
+        if src.exists():
+            shutil.copy(src, ml_dir / f)
+    rng = np.random.default_rng(0)
+    lines = (task_dir / "subgraphs.pth").read_text().strip().split("\n")
+    with open(ml_dir / "subgraphs.pth", "w") as fout:
+        for line in lines:
+            nodes, label, split = line.split("\t")[:3]
+            labels = label if rng.random() < 0.5 else label + "-X"
+            fout.write(f"{nodes}\t{labels}\t{split}\n")
+
+    rc = RunConfig(task="density_ml", project_root=root)
+    hp = HParams(
+        use_neighborhood=False, use_structure=True, use_position=False,
+        n_layers=1, max_epochs=3, batch_size=8,
+        n_anchor_patches_structure=3, n_triangular_walks=2,
+        random_walk_len=5, sample_walk_len=8, max_sim_epochs=2,
+        linear_hidden_dim_1=8, linear_hidden_dim_2=8, seed=0,
+        embedding_type="gin")
+    pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
+    out = pipe.run(log_fn=None)
+    assert pipe.multilabel
+    t = out["test"]
+    assert 0.0 <= t["test_micro_f1"] <= 1.0
+    assert "test_auroc_class_0" in t
