@@ -25,9 +25,14 @@ from ..prepare.node_emb import train_node_embeddings, save_embeddings
 
 
 def precompute_graph_metrics(task_dir: Path, graph: CSRGraph,
-                             override: bool = False):
+                             override: bool = False,
+                             max_sp_nodes: int = 20000):
     """ego_graphs.txt + degree_sequence.txt + shortest_path_matrix.npy
-    (reference: prepare_dataset/precompute_graph_metrics.py:28-70)."""
+    (reference: prepare_dataset/precompute_graph_metrics.py:28-70).
+
+    The dense all-pairs matrix is skipped for graphs over max_sp_nodes
+    (n^2 int32 grows fast); the training pipeline computes it lazily only
+    when the N/P channels actually need it."""
     (task_dir / "similarities").mkdir(parents=True, exist_ok=True)
     ego_p = task_dir / "ego_graphs.txt"
     if override or not ego_p.exists():
@@ -36,7 +41,7 @@ def precompute_graph_metrics(task_dir: Path, graph: CSRGraph,
     if override or not deg_p.exists():
         deg_p.write_text(json.dumps(degree_dict(graph)))
     sp_p = task_dir / "shortest_path_matrix.npy"
-    if override or not sp_p.exists():
+    if (override or not sp_p.exists()) and graph.n_nodes <= max_sp_nodes:
         np.save(sp_p, shortest_path_matrix(graph))
 
 
