@@ -106,9 +106,15 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
               "val": pos[:, perm[n_tr:n_tr + n_va]],
               "test": pos[:, perm[n_tr + n_va:]]}
 
-    if features == "one_hot":
+    if features == "one_hot" and n <= 8192:
         x = jnp.eye(n, dtype=jnp.float32)
         n_feat = n
+    elif features == "one_hot":
+        # large graphs: a fixed random projection of the identity (keeps
+        # per-node distinguishability at O(n*d) instead of O(n^2) memory;
+        # documented deviation from the reference's full one-hot)
+        n_feat = 256
+        x = jax.random.normal(jax.random.PRNGKey(7), (n, n_feat)) / jnp.sqrt(n_feat)
     else:
         n_feat = 20
         x = jnp.ones((n, n_feat), jnp.float32)
