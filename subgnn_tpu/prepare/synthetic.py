@@ -72,6 +72,13 @@ class SyntheticGraphBuilder:
 
     @staticmethod
     def _component_graph(kind, n_nodes, m=5, p=0.5, seed=None):
+        if kind == "mixed":
+            # vary the generator per component so structure-derived
+            # properties (e.g. avg coreness) span several label bins
+            kind = random.choice(["complete", "cycle", "path", "star",
+                                  "barabasi_albert"])
+            if kind == "barabasi_albert":
+                m = random.choice([2, 3, 5])
         if kind == "complete":
             return nx.complete_graph(n_nodes)
         if kind == "path":
