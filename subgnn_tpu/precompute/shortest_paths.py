@@ -111,12 +111,14 @@ def shortest_path_matrix(graph: CSRGraph, backend: str = "auto") -> np.ndarray:
     backend: 'host' | 'device' | 'auto' (device for n <= 4096).
     """
     n = graph.n_nodes
+    from ..ops import native
     if backend == "auto":
-        backend = "device" if n <= 4096 else "host"
+        # the multithreaded C++ host kernel beats the dense device SpMV for
+        # every shipped graph size (and avoids remote-device round trips);
+        # 'device' remains available explicitly
+        backend = "host" if native.is_available() or n > 4096 else "device"
     if backend == "device":
         return _bfs_device(graph)
-    # host path: prefer the multithreaded C++ kernel when built
-    from ..ops import native
     if native.is_available():
         return native.bfs_all_pairs(graph)
     sources = np.arange(1, n + 1, dtype=np.int64)

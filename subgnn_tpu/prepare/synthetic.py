@@ -337,8 +337,9 @@ def build_synthetic_dataset(out_dir: str | Path, desired_property: str = "densit
     out_dir.mkdir(parents=True, exist_ok=True)
     defaults = dict(density=dict(subgraph_type="bfs"),
                     cut_ratio=dict(subgraph_type="bfs"),
-                    coreness=dict(subgraph_type="plant", n_subgraphs=30),
-                    cc=dict(subgraph_type="staple",
+                    coreness=dict(subgraph_type="plant", n_subgraphs=30,
+                                  subgraph_generator="mixed", n_bins=5),
+                    cc=dict(subgraph_type="staple", n_subgraphs=120,
                             n_connected_components=None))
     cfg = dict(defaults.get(desired_property, {}))
     cfg.update(kwargs)
