@@ -35,6 +35,26 @@ from .checkpoint import dump_json, load_params_filtered
 SPLITS = ("train", "val", "test")
 SPLIT_TAG = {"train": 0, "val": 1, "test": 2}
 
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: str | Path | None = None):
+    """Persistent XLA compilation cache: repeated runs (multi-seed
+    harness, HPO trials) reuse compiled binaries across processes instead
+    of recompiling — compile time dominates wall time on a remote-attached
+    chip."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    path = Path(path) if path else Path(__file__).resolve().parents[2] / ".jax_cache"
+    path.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+    except Exception:
+        pass
+
 
 def load_embeddings(path: Path) -> np.ndarray:
     """Load pretrained node embeddings: .pth (torch tensor) or .npy."""
@@ -52,6 +72,7 @@ def load_embeddings(path: Path) -> np.ndarray:
 class SubGNNPipeline:
     def __init__(self, run_config: RunConfig, hp: HParams,
                  results_dir: Optional[str | Path] = None):
+        enable_compilation_cache()
         self.rc = run_config
         self.hp = hp
         self.results_dir = Path(results_dir) if results_dir else None
