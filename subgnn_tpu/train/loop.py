@@ -385,6 +385,68 @@ class Trainer:
             jax.profiler.stop_trace()
         return self.metric_scores[-1] if self.metric_scores else {}
 
+    def lr_find(self, params, state, train_data, anchors_by_split,
+                seed: int = 0, min_lr: float = 1e-6, max_lr: float = 1e-1,
+                num_steps: int = 60, beta: float = 0.9) -> float:
+        """LR range test (the reference enables PL's auto_lr_find for several
+        frozen configs, e.g. best_model_hyperparameters/density/
+        all_density_hyperparams.json): sweep lr geometrically over one-batch
+        steps, track the EMA of the loss, and suggest the lr at the steepest
+        descent of the smoothed curve (PL's 'suggestion()' heuristic)."""
+        hp = self.hp
+        model = self.model
+        base_rng = jax.random.PRNGKey(seed)
+        rng_np = np.random.default_rng(seed)
+        lrs = np.geomspace(min_lr, max_lr, num_steps)
+        anchors = anchors_by_split["train"]
+
+        sched_tx = optax.chain(
+            optax.clip_by_global_norm(hp.grad_clip) if hp.grad_clip else optax.identity(),
+            optax.inject_hyperparams(optax.adam)(learning_rate=1e-3))
+        opt_state = sched_tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, batch, rng, lr):
+            def loss_fn(p):
+                logits, _ = model.forward(p, state, batch, anchors,
+                                          train=True, rng=rng,
+                                          cc_tables=p.get("train_cc"))
+                return model.loss_fn(logits, batch["label"], batch["valid"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            opt_state[-1].hyperparams["learning_rate"] = lr  # injected lr
+            updates, new_opt = sched_tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt, loss
+
+        losses = []
+        smoothed = None
+        it = 0
+        p, o = params, opt_state
+        drop_last = hp.batch_size <= len(train_data)
+        while it < num_steps:
+            for batch in train_data.batches(hp.batch_size, shuffle=True,
+                                            drop_last=drop_last, rng=rng_np):
+                if it >= num_steps:
+                    break
+                jbatch = {k: (jnp.asarray(v) if v is not None else None)
+                          for k, v in batch.items()}
+                p, o, loss = step(p, o, jbatch,
+                                  jax.random.fold_in(base_rng, it),
+                                  jnp.float32(lrs[it]))
+                loss = float(loss)
+                if not np.isfinite(loss):
+                    num_steps = it  # diverged: truncate the sweep
+                    break
+                smoothed = loss if smoothed is None else (
+                    beta * smoothed + (1 - beta) * loss)
+                losses.append(smoothed)
+                it += 1
+        if len(losses) < 5:
+            return hp.learning_rate
+        grad = np.gradient(np.asarray(losses))
+        best = int(np.argmin(grad[: len(losses)]))
+        return float(lrs[min(best, len(lrs) - 1)])
+
     def best_monitor_value(self) -> float:
         vals = [m[self.monitor] for m in self.metric_scores
                 if self.monitor in m]

@@ -306,6 +306,15 @@ class SubGNNPipeline:
         if self.results_dir:
             dump_json(self.results_dir / "hyperparams.json", hp.to_dict())
 
+        if hp.auto_lr_find and hp.max_epochs > 0:
+            found = trainer.lr_find(params, state, self.split_data("train"),
+                                    anchors, seed=seed)
+            if log_fn:
+                log_fn(f"auto_lr_find: {hp.learning_rate:.2e} -> {found:.2e}")
+            self.hp = hp = hp.replace(learning_rate=found)
+            trainer.hp = hp
+            trainer.tx = Trainer(model, hp).tx  # rebuild optimizer with found lr
+
         on_epoch_end = None
         if hp.resample_anchor_patches:
             def on_epoch_end(epoch):  # noqa: F811

@@ -169,3 +169,21 @@ def test_trainer_resume(rng, tmp_path):
     diff = float(jnp.abs(t2.params["head"]["lin1"]["w"]
                          - params["head"]["lin1"]["w"]).max())
     assert diff > 0
+
+
+def test_lr_find(rng):
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(batch_size=6)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    t = Trainer(model, hp)
+    lr = t.lr_find(params, state, data, {"train": anchors}, num_steps=25)
+    assert 1e-7 < lr < 1.0
