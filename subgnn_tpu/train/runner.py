@@ -166,6 +166,9 @@ class SubGNNPipeline:
         self.structure_anchors = None
         self.int_walks = self.bor_walks = None
         if hp.use_structure:
+            if hp.structure_similarity_fn != "dtw":
+                # gated exactly like the reference (SubGNN.py:824-826)
+                raise NotImplementedError(hp.structure_similarity_fn)
             self.structure_anchors = cached(
                 struc_patches_path(sim_dir, hp),
                 lambda: sample_structure_anchor_patches(

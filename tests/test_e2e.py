@@ -120,3 +120,46 @@ def test_full_pipeline_multilabel(density_dataset, tmp_path):
     t = out["test"]
     assert 0.0 <= t["test_micro_f1"] <= 1.0
     assert "test_auroc_class_0" in t
+
+
+def test_subset_data_flag(density_dataset, tmp_path):
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(use_neighborhood=False, use_structure=True,
+                 use_position=False, n_layers=1, max_epochs=1, batch_size=4,
+                 subset_data=True, n_anchor_patches_structure=3,
+                 n_triangular_walks=2, random_walk_len=5, sample_walk_len=8,
+                 max_sim_epochs=2, linear_hidden_dim_1=8,
+                 linear_hidden_dim_2=8, embedding_type="gin")
+    pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
+    pipe.load()
+    assert len(pipe.subgraphs["train"]) <= 4
+    assert len(pipe.subgraphs["val"]) <= 4
+
+
+def test_ego_graph_patch_type(density_dataset, tmp_path):
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(use_neighborhood=False, use_structure=True,
+                 use_position=False, n_layers=1, max_epochs=1, batch_size=8,
+                 structure_patch_type="ego_graph",
+                 structure_anchor_patch_radius=1,
+                 n_anchor_patches_structure=3, n_triangular_walks=2,
+                 random_walk_len=5, max_sim_epochs=2,
+                 linear_hidden_dim_1=8, linear_hidden_dim_2=8,
+                 embedding_type="gin")
+    pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
+    out = pipe.run(log_fn=None)
+    assert 0.0 <= out["test"]["test_acc"] <= 1.0
+
+
+def test_edit_distance_raises(density_dataset, tmp_path):
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(use_neighborhood=False, use_structure=True,
+                 use_position=False, structure_similarity_fn="edit_distance",
+                 embedding_type="gin")
+    pipe = SubGNNPipeline(rc, hp)
+    pipe.load()
+    with pytest.raises(NotImplementedError):
+        pipe.precompute()
