@@ -45,20 +45,52 @@ def init_mpn_params(key, embed_dim: int):
 
 def mpn_layer(params, cc_embeds, anchor_embeds, sims, anchor_valid, *,
               use_mpn_projection: bool = True,
-              norm_pos_struc_embed: bool = False):
+              norm_pos_struc_embed: bool = False,
+              layout: str = "full"):
     """One anchor-patch -> CC message-passing layer.
 
     cc_embeds:     (B, C, D)
-    anchor_embeds: (B, C, A, D)
+    anchor_embeds: layout-dependent (see below)
     sims:          (B, C, A)   channel-specific similarity per (CC, anchor)
     anchor_valid:  (B, C, A)   bool; invalid slots contribute nothing
+
+    layout — exploits anchor sharing so the reduction runs on the MXU and
+    the backward pass produces DENSE anchor-embedding grads instead of a
+    (B*C*A)-row scatter into the embedding table:
+      'full'         anchor_embeds (B, C, A, D): distinct anchors per CC
+                     (neighborhood channel),
+      'per_subgraph' anchor_embeds (B, A, D): anchors shared across the CCs
+                     of each subgraph (internal position channel,
+                     reference anchor_patch_samplers.py:366-371),
+      'shared'       anchor_embeds (A, D): one anchor set for the whole
+                     batch (border position + structure channels,
+                     reference :373,390).
+    The math is identical across layouts:
+        agg[b,c]  = sum_a w[b,c,a] * emb[.,a,:]
+        prop[b,c,a] = relu(w[b,c,a] * (emb @ W_pos) + b_pos)
+    where w = valid * sim, using (w*emb) @ W_pos == w * (emb @ W_pos).
 
     Returns (updated_cc (B,C,D), prop (B,C,A)).
     """
     dt = anchor_embeds.dtype
-    w = jnp.where(anchor_valid, sims, 0.0)[..., None].astype(dt)  # (B,C,A,1)
-    msgs = w * anchor_embeds                                  # (B,C,A,D)
-    agg = msgs.sum(axis=2)                                    # (B,C,D)
+    w = jnp.where(anchor_valid, sims, 0.0).astype(dt)             # (B,C,A)
+    w_pos = params["linear_position"]["w"].astype(dt)             # (D, 1)
+    b_pos = params["linear_position"]["b"].astype(dt)
+
+    if layout == "shared":
+        agg = jnp.einsum("bca,ad->bcd", w, anchor_embeds)
+        proj = (anchor_embeds @ w_pos)[:, 0]                      # (A,)
+        prop_pre = w * proj[None, None, :] + b_pos
+    elif layout == "per_subgraph":
+        agg = jnp.einsum("bca,bad->bcd", w, anchor_embeds)
+        proj = (anchor_embeds @ w_pos)[..., 0]                    # (B, A)
+        prop_pre = w * proj[:, None, :] + b_pos
+    elif layout == "full":
+        msgs = w[..., None] * anchor_embeds                       # (B,C,A,D)
+        agg = msgs.sum(axis=2)
+        prop_pre = (msgs @ w_pos)[..., 0] + b_pos
+    else:
+        raise ValueError(layout)
 
     if use_mpn_projection:
         x = jnp.concatenate([cc_embeds.astype(dt), agg], axis=-1)  # (B,C,2D)
@@ -68,11 +100,9 @@ def mpn_layer(params, cc_embeds, anchor_embeds, sims, anchor_valid, *,
     else:
         updated = agg
 
-    prop = (msgs @ params["linear_position"]["w"].astype(dt)
-            + params["linear_position"]["b"].astype(dt))[..., 0]  # (B,C,A)
     if norm_pos_struc_embed:
-        norm = jnp.linalg.norm(prop, axis=-1, keepdims=True)
-        prop = prop / jnp.maximum(norm, 1e-12)
+        norm = jnp.linalg.norm(prop_pre, axis=-1, keepdims=True)
+        prop = prop_pre / jnp.maximum(norm, 1e-12)
     else:
-        prop = jax.nn.relu(prop)
+        prop = jax.nn.relu(prop_pre)
     return updated, prop

@@ -286,26 +286,33 @@ class SubGNNModel:
 
             if hp.use_position:
                 layer_p = params["channels"]["position"][l]
-                # internal: per-subgraph anchors repeated over CCs, padded
-                # CCs masked (reference: anchor_patch_samplers.py:366-379)
-                a_in = jnp.broadcast_to(
-                    anchors["pos_int"][l][sub_idx][:, None, :],
-                    (B, C, hp.n_anchor_patches_pos_in))
-                a_in = jnp.where(cc_mask[:, :, None], a_in, PAD_VALUE)
-                a_out = jnp.broadcast_to(
-                    anchors["pos_ext"][l][None, None, :],
-                    (B, C, hp.n_anchor_patches_pos_out))
-                a_out = jnp.where(cc_mask[:, :, None], a_out, PAD_VALUE)
+                # internal anchors are shared across each subgraph's CCs and
+                # border anchors across the whole batch (reference:
+                # anchor_patch_samplers.py:366-379) — use the shared-anchor
+                # MPN layouts: embeddings gathered once, reductions as
+                # matmuls, masking by cc_mask (== the reference's PAD-ing of
+                # anchor ids at padded CCs).
+                ids_in = anchors["pos_int"][l][sub_idx]            # (B, A_in)
+                a_in_bc = jnp.broadcast_to(
+                    ids_in[:, None, :], (B, C, hp.n_anchor_patches_pos_in))
+                valid_in = jnp.broadcast_to(
+                    cc_mask[:, :, None], (B, C, hp.n_anchor_patches_pos_in))
                 P_in, P_in_prop = mpn_layer(
-                    layer_p["internal"], P_in, table[a_in],
-                    np_sims_gather(a_in), a_in != PAD_VALUE,
+                    layer_p["internal"], P_in, table[ids_in],
+                    np_sims_gather(a_in_bc), valid_in,
                     use_mpn_projection=hp.use_mpn_projection,
-                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed,
+                    layout="per_subgraph")
+                ids_out = anchors["pos_ext"][l]                    # (A_out,)
+                sims_out = batch["NP_sim"][:, :, ids_out - 1]      # (B,C,A)
+                valid_out = jnp.broadcast_to(
+                    cc_mask[:, :, None], (B, C, hp.n_anchor_patches_pos_out))
                 P_out, P_out_prop = mpn_layer(
-                    layer_p["border"], P_out, table[a_out],
-                    np_sims_gather(a_out), a_out != PAD_VALUE,
+                    layer_p["border"], P_out, table[ids_out],
+                    sims_out, valid_out,
                     use_mpn_projection=hp.use_mpn_projection,
-                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed,
+                    layout="shared")
                 outputs.extend([P_in_prop, P_out_prop])
 
             if hp.use_structure:
@@ -321,19 +328,17 @@ class SubGNNModel:
                     return sim_matrix[:, :, pool_idx]
 
                 S_in, S_in_prop = mpn_layer(
-                    layer_p["internal"], S_in,
-                    jnp.broadcast_to(emb_int[None, None],
-                                     (B, C) + emb_int.shape),
+                    layer_p["internal"], S_in, emb_int,
                     s_sims(batch["I_S_sim"]), valid,
                     use_mpn_projection=hp.use_mpn_projection,
-                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed,
+                    layout="shared")
                 S_out, S_out_prop = mpn_layer(
-                    layer_p["border"], S_out,
-                    jnp.broadcast_to(emb_bor[None, None],
-                                     (B, C) + emb_bor.shape),
+                    layer_p["border"], S_out, emb_bor,
                     s_sims(batch["B_S_sim"]), valid,
                     use_mpn_projection=hp.use_mpn_projection,
-                    norm_pos_struc_embed=hp.norm_pos_struc_embed)
+                    norm_pos_struc_embed=hp.norm_pos_struc_embed,
+                    layout="shared")
                 outputs.extend([S_in_prop, S_out_prop])
 
         all_cc = jnp.concatenate([init_cc] + outputs, axis=-1)   # (B, C, hid)

@@ -300,3 +300,27 @@ def test_bf16_forward_close_to_fp32(rng):
     rel = np.abs(np.asarray(logits16) - np.asarray(logits32))
     scale = np.abs(np.asarray(logits32)).mean() + 1e-6
     assert (rel.mean() / scale) < 0.1, (rel.mean(), scale)
+
+
+def test_mpn_layouts_equivalent(rng):
+    """shared / per_subgraph layouts must equal the full layout exactly."""
+    B, C, A, D = 4, 3, 6, 8
+    params = init_mpn_params(jax.random.PRNGKey(2), D)
+    cc = jnp.asarray(rng.normal(size=(B, C, D)).astype(np.float32))
+    sims = jnp.asarray(rng.normal(size=(B, C, A)).astype(np.float32))
+    valid = jnp.asarray(rng.random((B, C, A)) > 0.3)
+
+    emb_shared = jnp.asarray(rng.normal(size=(A, D)).astype(np.float32))
+    full = jnp.broadcast_to(emb_shared[None, None], (B, C, A, D))
+    u1, p1 = mpn_layer(params, cc, full, sims, valid, layout="full")
+    u2, p2 = mpn_layer(params, cc, emb_shared, sims, valid, layout="shared")
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+    emb_per = jnp.asarray(rng.normal(size=(B, A, D)).astype(np.float32))
+    full2 = jnp.broadcast_to(emb_per[:, None], (B, C, A, D))
+    u3, p3 = mpn_layer(params, cc, full2, sims, valid, layout="full")
+    u4, p4 = mpn_layer(params, cc, emb_per, sims, valid,
+                       layout="per_subgraph")
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(u4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p4), atol=1e-5)
