@@ -187,3 +187,37 @@ def test_lr_find(rng):
     t = Trainer(model, hp)
     lr = t.lr_find(params, state, data, {"train": anchors}, num_steps=25)
     assert 1e-7 < lr < 1.0
+
+
+def test_fused_matches_streaming(rng, monkeypatch):
+    """Fused-epoch and per-step streaming modes draw identical batch orders
+    and rng streams, so they must produce the same trained parameters."""
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(max_epochs=3, batch_size=3)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    t_fused = Trainer(model, hp)
+    t_fused.fit(params, state, data, data, {"train": anchors, "val": anchors},
+                seed=0, log_fn=None)
+
+    t_stream = Trainer(model, hp)
+    monkeypatch.setattr(Trainer, "_split_bytes", staticmethod(lambda d: 1 << 40))
+    t_stream.fit(params, state, data, data,
+                 {"train": anchors, "val": anchors}, seed=0, log_fn=None)
+
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(t_fused.params),
+            jax.tree_util.tree_leaves_with_path(t_stream.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(p1))
+    f1 = [m["train_loss"] for m in t_fused.metric_scores]
+    f2 = [m["train_loss"] for m in t_stream.metric_scores]
+    np.testing.assert_allclose(f1, f2, atol=1e-5)
