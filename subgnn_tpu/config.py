@@ -79,6 +79,9 @@ class HParams:
     auto_lr_find: bool = False
 
     # --- misc / runtime ---
+    debug_mode: bool = False           # jax_debug_nans + grad-norm tracking
+                                       # (reference: train.py:340-351,439
+                                       # anomaly detection + grad tracking)
     compute_similarities: bool = False
     n_processes: int = 4
     subset_data: bool = False

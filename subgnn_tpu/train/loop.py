@@ -76,6 +76,11 @@ class Trainer:
         self.state = None
         self.opt_state = None
         self.global_step = 0
+        self._grad_norms = []
+        if hp.debug_mode:
+            # NaN/inf checking inside jit, the reference's always-on
+            # torch.autograd.set_detect_anomaly analog (train.py:439)
+            jax.config.update("jax_debug_nans", True)
 
     # ---------------------------------------------------------- step builders
 
@@ -94,7 +99,9 @@ class Trainer:
                 loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, new_state, loss, logits
+            grad_norm = (optax.global_norm(grads) if hp.debug_mode
+                         else jnp.float32(0))
+            return params, opt_state, new_state, loss, logits, grad_norm
 
         def eval_step(params, state, batch, anchors, cc_tables):
             logits, _ = model.forward(params, state, batch, anchors,
@@ -290,6 +297,7 @@ class Trainer:
         # batches are uniform; per-step streaming otherwise (huge datasets,
         # short-batch training, per-epoch anchor resampling).
         fused = (drop_last and not hp.resample_anchor_patches
+                 and not hp.debug_mode  # debug wants per-step grad norms
                  and (self._split_bytes(train_data)
                       + self._split_bytes(val_data)) < (1 << 30))
         if fused:
@@ -330,10 +338,13 @@ class Trainer:
                               for k, v in batch.items()}
                     rng = jax.random.fold_in(base_rng, self.global_step)
                     (self.params, self.opt_state, self.state, loss,
-                     _) = self._train_step(self.params, self.opt_state,
-                                           self.state, jbatch,
-                                           anchors_by_split["train"], rng)
+                     _, gnorm) = self._train_step(self.params, self.opt_state,
+                                                  self.state, jbatch,
+                                                  anchors_by_split["train"],
+                                                  rng)
                     train_losses.append(float(loss))
+                    if hp.debug_mode:
+                        self._grad_norms.append(float(gnorm))
                     self.global_step += 1
             train_time = time.time() - t0
 
@@ -363,6 +374,9 @@ class Trainer:
             val_metrics["epoch_time_s"] = time.time() - t0
             val_metrics["train_edges_per_s"] = (
                 edges_per_step * len(train_losses) / max(train_time, 1e-9))
+            if hp.debug_mode and self._grad_norms:
+                val_metrics["grad_norm"] = float(np.mean(
+                    self._grad_norms[-max(len(train_losses), 1):]))
             self.metric_scores.append(val_metrics)
             if self.tb:
                 self.tb.add_scalars(val_metrics, epoch)

@@ -221,3 +221,27 @@ def test_fused_matches_streaming(rng, monkeypatch):
     f1 = [m["train_loss"] for m in t_fused.metric_scores]
     f2 = [m["train_loss"] for m in t_stream.metric_scores]
     np.testing.assert_allclose(f1, f2, atol=1e-5)
+
+
+def test_debug_mode_grad_norms(rng):
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    import jax
+    hp = HP.replace(max_epochs=2, batch_size=6, debug_mode=True)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    t = Trainer(model, hp)
+    try:
+        t.fit(params, state, data, data, {"train": anchors, "val": anchors},
+              seed=0, log_fn=None)
+        assert "grad_norm" in t.metric_scores[-1]
+        assert t.metric_scores[-1]["grad_norm"] > 0
+    finally:
+        jax.config.update("jax_debug_nans", False)
