@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import json
 import random
-import string
 from pathlib import Path
 
 from ..config import HParams, RunConfig

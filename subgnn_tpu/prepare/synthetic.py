@@ -19,7 +19,7 @@ never touches it.
 from __future__ import annotations
 
 import random
-from collections import Counter, defaultdict
+from collections import defaultdict
 from pathlib import Path
 from typing import List, Optional
 
