@@ -163,3 +163,22 @@ def test_edit_distance_raises(density_dataset, tmp_path):
     pipe.load()
     with pytest.raises(NotImplementedError):
         pipe.precompute()
+
+
+def test_run_determinism(density_dataset, tmp_path):
+    """Same seed twice -> identical metrics (full-run reproducibility, the
+    reference's determinism-controls analog, SURVEY §4)."""
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(use_neighborhood=False, use_structure=True,
+                 use_position=False, n_layers=1, max_epochs=3, batch_size=8,
+                 n_anchor_patches_structure=3, n_triangular_walks=2,
+                 random_walk_len=5, sample_walk_len=8, max_sim_epochs=2,
+                 linear_hidden_dim_1=8, linear_hidden_dim_2=8, seed=7,
+                 embedding_type="gin")
+    outs = []
+    for i in range(2):
+        pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path / str(i))
+        outs.append(pipe.run(log_fn=None))
+    assert outs[0]["test"]["test_micro_f1"] == outs[1]["test"]["test_micro_f1"]
+    assert abs(outs[0]["test"]["test_loss"] - outs[1]["test"]["test_loss"]) < 1e-5
