@@ -400,8 +400,9 @@ class Trainer:
         return self.metric_scores[-1] if self.metric_scores else {}
 
     def lr_find(self, params, state, train_data, anchors_by_split,
-                seed: int = 0, min_lr: float = 1e-6, max_lr: float = 1e-1,
-                num_steps: int = 60, beta: float = 0.9) -> float:
+                seed: int = 0, min_lr: float = 1e-6, max_lr: float = 3e-2,
+                num_steps: int = 60, beta: float = 0.9,
+                damping: float = 3.0) -> float:
         """LR range test (the reference enables PL's auto_lr_find for several
         frozen configs, e.g. best_model_hyperparameters/density/
         all_density_hyperparams.json): sweep lr geometrically over one-batch
@@ -459,7 +460,10 @@ class Trainer:
             return hp.learning_rate
         grad = np.gradient(np.asarray(losses))
         best = int(np.argmin(grad[: len(losses)]))
-        return float(lrs[min(best, len(lrs) - 1)])
+        # the steepest-descent point sits just below the divergence edge;
+        # damp it (multi-seed tests: the raw pick trains val fine but
+        # generalizes worse on small datasets)
+        return float(lrs[min(best, len(lrs) - 1)]) / damping
 
     def best_monitor_value(self) -> float:
         vals = [m[self.monitor] for m in self.metric_scores
