@@ -182,3 +182,30 @@ def test_run_determinism(density_dataset, tmp_path):
         outs.append(pipe.run(log_fn=None))
     assert outs[0]["test"]["test_micro_f1"] == outs[1]["test"]["test_micro_f1"]
     assert abs(outs[0]["test"]["test_loss"] - outs[1]["test"]["test_loss"]) < 1e-5
+
+
+def test_pipeline_trainable_cc(density_dataset, tmp_path):
+    """trainable_cc end-to-end: train-split CC tables are parameters; val
+    and test use tables frozen at the pretrained-embedding init
+    (reference: SubGNN.py:646-668)."""
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    # the N channel is the one whose updated CC embeddings reach the
+    # readout, so its trainable tables receive gradient (S/P tables are
+    # structurally gradient-free, as in the reference)
+    hp = HParams(use_neighborhood=True, use_structure=False,
+                 use_position=False, n_layers=1, max_epochs=3, batch_size=8,
+                 trainable_cc=True, n_anchor_patches_N_in=3,
+                 n_anchor_patches_N_out=4, neigh_sample_border_size=1,
+                 linear_hidden_dim_1=8,
+                 linear_hidden_dim_2=8, seed=0, embedding_type="gin",
+                 learning_rate=5e-3)
+    pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
+    out = pipe.run(log_fn=None)
+    trainer = pipe.trainer
+    assert "train_cc" in trainer.params
+    # train CC tables moved from their init; val tables did not
+    init = pipe._init_cc_tables("train")["N_I"]
+    moved = np.abs(np.asarray(trainer.params["train_cc"]["N_I"]) - init).max()
+    assert moved > 0
+    assert 0.0 <= out["test"]["test_acc"] <= 1.0
