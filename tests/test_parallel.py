@@ -71,3 +71,28 @@ def test_sharded_forward_matches_single_device():
         sharded_logits = fwd(sp, sb)
     np.testing.assert_allclose(np.asarray(local_logits),
                                np.asarray(sharded_logits), atol=1e-4)
+
+
+def test_dtw_shards_over_mesh():
+    """Distributed precompute: the batched DTW kernel data-parallelizes over
+    the mesh's pair axis (each device computes its shard; results identical
+    to single-device)."""
+    from jax.sharding import NamedSharding
+    from subgnn_tpu.precompute.dtw import dtw_distance_batch
+
+    rng = np.random.default_rng(0)
+    N, L = 64, 12
+    a = np.sort(rng.integers(0, 9, (N, L)).astype(np.float32), axis=1)
+    b = np.sort(rng.integers(0, 9, (N, L)).astype(np.float32), axis=1)
+    la = rng.integers(1, L + 1, N).astype(np.int32)
+    lb = rng.integers(1, L + 1, N).astype(np.int32)
+
+    local = np.asarray(dtw_distance_batch(jnp.asarray(a), jnp.asarray(la),
+                                          jnp.asarray(b), jnp.asarray(lb)))
+    mesh = make_device_mesh(n_data=8, n_node=1)
+    sharding = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(jnp.asarray(x), sharding) for x in (a, la, b, lb)]
+    with mesh:
+        sharded = np.asarray(dtw_distance_batch(args[0], args[1],
+                                                args[2], args[3]))
+    np.testing.assert_allclose(local, sharded, atol=1e-5)
