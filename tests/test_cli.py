@@ -128,3 +128,34 @@ def test_study_end_to_end(tmp_path):
     assert len(study.trials) == 2
     assert all(np.isfinite(t["value"]) for t in study.trials)
     assert (root / "tb" / "toy" / "study.json").exists()
+
+
+@pytest.mark.slow
+def test_train_cli_main(tmp_path, monkeypatch):
+    """The argparse driver end-to-end on a tiny dataset."""
+    import sys, json
+    from subgnn_tpu.prepare.synthetic import build_synthetic_dataset
+    from subgnn_tpu.prepare.node_emb import train_node_embeddings, save_embeddings
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.cli import train as train_cli
+
+    root = tmp_path
+    task_dir = root / "density"
+    build_synthetic_dataset(task_dir, "density", seed=2, n=80, m=3,
+                            n_subgraphs=24, n_subgraph_nodes=6, max_tries=20)
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    emb, _ = train_node_embeddings(g, out_dim=8, hidden=16, epochs=5)
+    save_embeddings(task_dir, emb, "gin")
+    hyp = dict(train_cli.default_hyperparams(), max_epochs=2, batch_size=8,
+               n_layers=1, use_neighborhood=False, use_position=False,
+               n_anchor_patches_structure=3, n_triangular_walks=2,
+               random_walk_len=5, sample_walk_len=8, max_sim_epochs=2,
+               linear_hidden_dim_1=8, linear_hidden_dim_2=8)
+    hyp_path = root / "hyp.json"
+    hyp_path.write_text(json.dumps(hyp))
+    monkeypatch.setattr(sys, "argv", [
+        "train", "-task", "density", "-project_root", str(root),
+        "-hyperparams", str(hyp_path), "-tb_name", "cli_run"])
+    train_cli.main()
+    assert (root / "tensorboard" / "cli_run" / "test_results.json").exists()
+    assert (root / "tensorboard" / "cli_run" / "hyperparams.json").exists()
