@@ -34,7 +34,9 @@ TASKS = {
     "cc": dict(prop="cc", ref_dir="component"),
 }
 
-REF_HP_ROOT = Path("/root/reference/best_model_hyperparameters")
+import os
+REF_HP_ROOT = Path(os.environ.get("SUBGNN_REF_HPARAMS",
+                                  "/root/reference/best_model_hyperparameters"))
 
 
 def hyperparams_for(task: str, channel_set: str) -> dict:
