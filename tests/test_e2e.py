@@ -209,3 +209,15 @@ def test_pipeline_trainable_cc(density_dataset, tmp_path):
     moved = np.abs(np.asarray(trainer.params["train_cc"]["N_I"]) - init).max()
     assert moved > 0
     assert 0.0 <= out["test"]["test_acc"] <= 1.0
+
+
+def test_node_emb_gcn_variant(density_dataset):
+    """GCN conv variant of the pretrainer also learns link structure."""
+    from subgnn_tpu.prepare.node_emb import train_node_embeddings
+    from subgnn_tpu.data.graph import CSRGraph
+    root, task_dir, _, _ = density_dataset
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    emb, metrics = train_node_embeddings(g, conv_type="gcn", hidden=32,
+                                         out_dim=16, epochs=30, seed=0)
+    assert emb.shape == (g.n_nodes, 16)
+    assert metrics["val_auc"] > 0.6, metrics
