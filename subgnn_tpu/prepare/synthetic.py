@@ -201,13 +201,18 @@ class SyntheticGraphBuilder:
         return subgraphs
 
     def _staple_component(self, gen, n_nodes, root):
+        # extend in place (the reference's disjoint_union copies the whole
+        # growing graph per staple, making generation quadratic —
+        # prepare_dataset.py:149-152; identical resulting graph)
         comp = self._component_graph(gen, n_nodes)
-        ids = list(range(len(self.graph.nodes),
-                         len(self.graph.nodes) + len(comp.nodes)))
-        joined = nx.disjoint_union(self.graph, comp)
+        base = len(self.graph.nodes)
+        ids = [base + i for i in range(len(comp.nodes))]
+        relabel = {v: base + i for i, v in enumerate(comp.nodes)}
+        self.graph.add_nodes_from(ids)
+        self.graph.add_edges_from((relabel[u], relabel[v])
+                                  for u, v in comp.edges)
         cc_root = random.choice(ids)
-        joined.add_edge(root, cc_root)
-        self.graph = joined.copy()
+        self.graph.add_edge(root, cc_root)
         return ids, cc_root
 
     # ------------------------------------------------------------ properties
