@@ -147,18 +147,28 @@ class SubGNNPipeline:
 
         self.np_sim = {s: None for s in SPLITS}
         if hp.use_neighborhood or hp.use_position:
-            sp_path = rc.shortest_paths_path()
-            if sp_path.exists():
-                shortest = np.load(sp_path, allow_pickle=True)
-            else:
-                shortest = shortest_path_matrix(self.graph)
-                np.save(sp_path, shortest)
+            # only touch the (n x n) shortest-path matrix when some split's
+            # similarity cache actually misses — loading it dominates
+            # HPO-trial startup otherwise (it is GBs at EM-USER scale)
+            shortest = None
+
+            def _shortest():
+                nonlocal shortest
+                if shortest is None:
+                    sp_path = rc.shortest_paths_path()
+                    if sp_path.exists():
+                        shortest = np.load(sp_path, allow_pickle=True)
+                    else:
+                        shortest = shortest_path_matrix(self.graph)
+                        np.save(sp_path, shortest)
+                return shortest
+
             for s in SPLITS:
-                self.np_sim[s] = cached(
+                self.np_sim[s] = np.asarray(cached(
                     np_sim_path(sim_dir, s),
                     lambda s=s: compute_shortest_path_similarities(
-                        shortest, self.cc_ids[s]),
-                    recompute).astype(np.float32)
+                        _shortest(), self.cc_ids[s]),
+                    recompute), dtype=np.float32)
         _stage("NP similarities")
 
         self.int_s_sim = {s: None for s in SPLITS}

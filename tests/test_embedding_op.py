@@ -1,0 +1,122 @@
+"""embedding_gather: plan-routed backward == autodiff of a plain gather.
+
+The op replaces the scatter-add backward of the reference's trainable
+nn.Embedding lookups (reference: SubGNN/SubGNN.py:568,
+anchor_patch_samplers.py:404-411) with a blocked one-hot matmul routed by
+a host-built plan; these tests pin exact gradient equivalence.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from subgnn_tpu.ops.embedding import (
+    GatherPlan, TABLE_BLOCK, embedding_gather, make_gather_plan,
+    plan_width_for, _segment_matmul_xla)
+
+
+def _grad_pair(table, ids, plan, g_seed=1):
+    """(d_table via op, d_table via plain autodiff) for a random cotangent."""
+    def via_op(t):
+        return embedding_gather(t, ids, plan)
+
+    def plain(t):
+        return t[ids]
+
+    out, vjp_op = jax.vjp(via_op, table)
+    _, vjp_plain = jax.vjp(plain, table)
+    g = jax.random.normal(jax.random.PRNGKey(g_seed), out.shape, out.dtype)
+    return vjp_op(g)[0], vjp_plain(g)[0]
+
+
+@pytest.mark.parametrize("shape", [(7,), (4, 5), (2, 3, 4, 6)])
+def test_grad_matches_autodiff(shape):
+    rng = np.random.default_rng(0)
+    n_rows, D = 300, 16
+    table = jnp.asarray(rng.normal(size=(n_rows, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_rows, shape).astype(np.int32))
+    plan = make_gather_plan(np.asarray(ids), n_rows)
+    d_op, d_plain = _grad_pair(table, ids, plan)
+    np.testing.assert_allclose(np.asarray(d_op), np.asarray(d_plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_is_plain_gather():
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 64, (3, 5)).astype(np.int32))
+    plan = make_gather_plan(np.asarray(ids), 64)
+    np.testing.assert_array_equal(
+        np.asarray(embedding_gather(table, ids, plan)),
+        np.asarray(table[ids]))
+
+
+def test_repeated_ids_accumulate():
+    # every slot hits row 3 -> grad row 3 is the sum of all cotangent rows
+    table = jnp.zeros((10, 4))
+    ids = jnp.full((6,), 3, jnp.int32)
+    plan = make_gather_plan(np.asarray(ids), 10)
+    d_op, d_plain = _grad_pair(table, ids, plan)
+    np.testing.assert_allclose(np.asarray(d_op), np.asarray(d_plain),
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(np.asarray(d_op)[3]).sum() > 0
+
+
+def test_shared_width_plans_have_same_shape():
+    rng = np.random.default_rng(2)
+    n_rows, n_ids = 1000, 5000
+    w = plan_width_for(n_ids, n_rows)
+    plans = [make_gather_plan(rng.integers(0, n_rows, n_ids), n_rows, width=w)
+             for _ in range(3)]
+    assert len({p.pos.shape for p in plans}) == 1
+
+
+def test_width_overflow_raises():
+    ids = np.zeros(500, np.int64)  # all in one block
+    with pytest.raises(ValueError):
+        make_gather_plan(ids, 1000, width=128)
+
+
+def test_pallas_matches_xla_backend(monkeypatch):
+    """The Pallas kernel (interpret mode off-TPU) == the XLA fallback."""
+    from subgnn_tpu.ops import embedding as E
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(3)
+    n_rows, D, n_ids = 4 * TABLE_BLOCK, 32, 2000
+    ids = rng.integers(0, n_rows, n_ids)
+    plan = make_gather_plan(ids, n_rows)
+    g_pad = jnp.asarray(
+        rng.normal(size=(n_ids + 1, D)).astype(np.float32)).at[-1].set(0.0)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+    out_pallas = E._segment_matmul_pallas(g_pad, plan, jnp.float32)
+    out_xla = _segment_matmul_xla(g_pad, plan, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grad_under_jit_and_table_padding():
+    """Aligned (padded) table rows get zero grad; works inside jit."""
+    rng = np.random.default_rng(4)
+    n_rows, D = 130, 8          # plan covers 130 rows, table padded to 136
+    table = jnp.asarray(rng.normal(size=(136, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_rows, (40,)).astype(np.int32))
+    plan = make_gather_plan(np.asarray(ids), n_rows)
+
+    @jax.jit
+    def loss(t):
+        return embedding_gather(t, ids, plan).sum()
+
+    d = jax.grad(loss)(table)
+    assert d.shape == table.shape
+    np.testing.assert_allclose(np.asarray(d[n_rows:]), 0.0)
+    d_plain = jax.grad(lambda t: t[ids].sum())(table)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_plain),
+                               rtol=1e-6, atol=1e-6)
