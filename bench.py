@@ -46,6 +46,15 @@ def main():
         n_nodes=n_nodes, n_sub=B, C=C, L=16, n_pool=150,
         hp_overrides=hp_overrides)
 
+    # host-side gather plans: embedding-table backward as blocked MXU
+    # matmuls instead of a scatter-add (subgnn_tpu/ops/embedding.py)
+    from subgnn_tpu.train.plans import PlanBuilder, neigh_ids_for_batch
+    builder = PlanBuilder(params["node_embed"].shape[0])
+    idx = np.arange(B)
+    batch["cc_plan"] = builder.build("cc", np.asarray(batch["cc_ids"]))
+    batch["neigh_plan"] = builder.build(
+        "neigh", neigh_ids_for_batch(anchors, idx))
+
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 

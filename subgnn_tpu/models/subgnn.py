@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import HParams
+from ..ops.embedding import embedding_gather
 from .lstm import init_lstm_params, lstm_forward
 from .mpn import init_mpn_params, mpn_layer
 from . import attention as attn
@@ -155,11 +156,16 @@ class SubGNNModel:
         # trains (torch padding_idx semantics, reference SubGNN.py:568)
         return params["node_embed"].at[0].set(0.0)
 
-    def initialize_cc_embeddings(self, table, cc_ids):
+    def initialize_cc_embeddings(self, table, cc_ids, plan=None):
         """(B, C, L) ids -> (B, C, D) via sum or max INCLUDING pad zeros
         (reference: SubGNN.py:609-622 does not mask; 'max' therefore clips
-        at 0 — quirk preserved)."""
-        embeds = table[cc_ids]  # (B, C, L, D)
+        at 0 — quirk preserved). `plan` (ops/embedding.py GatherPlan built
+        from exactly cc_ids) routes the trainable-table backward through
+        the scatter-free path."""
+        if plan is not None:
+            embeds = embedding_gather(table, cc_ids, plan)  # (B, C, L, D)
+        else:
+            embeds = table[cc_ids]  # (B, C, L, D)
         if self.hp.cc_aggregator == "sum":
             return embeds.sum(axis=2)
         elif self.hp.cc_aggregator == "max":
@@ -233,8 +239,24 @@ class SubGNNModel:
         new_state = dict(state)
         bn_state = dict(state.get("bn", {}))
 
-        init_cc = self.initialize_cc_embeddings(table, cc_ids)   # (B, C, D)
+        init_cc = self.initialize_cc_embeddings(
+            table, cc_ids, batch.get("cc_plan"))                  # (B, C, D)
         cc_mask = cc_ids[:, :, 0] != PAD_VALUE                    # (B, C)
+
+        if hp.use_neighborhood:
+            # all layers' N-channel anchor embeds in ONE gather so the
+            # backward is a single scatter-free plan matmul when
+            # batch['neigh_plan'] is supplied (see train/plans.py for the
+            # matching host-side id layout)
+            A_n_in = hp.n_anchor_patches_N_in
+            n_ids_all = jnp.concatenate(
+                [anchors["neigh_int"][:, sub_idx],
+                 anchors["neigh_bor"][:, sub_idx]], axis=-1)  # (L,B,C,Ai+Ao)
+            neigh_plan = batch.get("neigh_plan")
+            if neigh_plan is not None:
+                n_emb_all = embedding_gather(table, n_ids_all, neigh_plan)
+            else:
+                n_emb_all = table[n_ids_all]
 
         if hp.trainable_cc and cc_tables is not None:
             ch_cc = {k: cc_tables[k][sub_idx] for k in CHANNEL_CC_KEYS}
@@ -263,15 +285,15 @@ class SubGNNModel:
         for l in range(hp.n_layers):
             if hp.use_neighborhood:
                 layer_p = params["channels"]["neighborhood"][l]
-                a_in = anchors["neigh_int"][l][sub_idx]          # (B, C, A)
-                a_out = anchors["neigh_bor"][l][sub_idx]
+                a_in = n_ids_all[l, :, :, :A_n_in]               # (B, C, A)
+                a_out = n_ids_all[l, :, :, A_n_in:]
                 N_in, _ = mpn_layer(
-                    layer_p["internal"], N_in, table[a_in],
+                    layer_p["internal"], N_in, n_emb_all[l, :, :, :A_n_in],
                     np_sims_gather(a_in), a_in != PAD_VALUE,
                     use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed)
                 N_out, _ = mpn_layer(
-                    layer_p["border"], N_out, table[a_out],
+                    layer_p["border"], N_out, n_emb_all[l, :, :, A_n_in:],
                     np_sims_gather(a_out), a_out != PAD_VALUE,
                     use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed)

@@ -49,11 +49,20 @@ class GatherPlan(NamedTuple):
                slots; TABLE_BLOCK (out of range -> all-zero one-hot row)
                for padding slots.
     n_rows:    static int, number of table rows (padded table height).
+
+    Registered as a pytree with n_rows as static aux data, so plans pass
+    through jit / lax.scan (stacked per batch) without tracing n_rows.
     """
 
     pos: jnp.ndarray
     local_row: jnp.ndarray
     n_rows: int
+
+
+jax.tree_util.register_pytree_node(
+    GatherPlan,
+    lambda p: ((p.pos, p.local_row), p.n_rows),
+    lambda n_rows, ch: GatherPlan(ch[0], ch[1], n_rows))
 
 
 def make_gather_plan(ids: np.ndarray, n_rows: int,

@@ -22,6 +22,7 @@ import optax
 from ..config import HParams
 from ..models.subgnn import SubGNNModel
 from . import metrics as M
+from . import plans as P
 from .checkpoint import TopKCheckpoints
 from .tb_writer import TBWriter
 
@@ -144,13 +145,16 @@ class Trainer:
         train_anchors = anchors_by_split["train"]
         val_anchors = anchors_by_split["val"]
 
-        def train_epoch(params, opt_state, state, order, step0):
-            # order: (n_batches, B) int32 of subgraph indices
+        def train_epoch(params, opt_state, state, order, step0, plans):
+            # order: (n_batches, B) int32 of subgraph indices; plans: dict
+            # of per-batch-stacked GatherPlans (train/plans.py) routing the
+            # embedding-table backward around the scatter-add
             def body(carry, inp):
                 params, opt_state, state, step = carry
-                idx = inp
+                idx, plans_b = inp
                 batch = self._gather_batch(train_arrays, idx,
                                            jnp.ones_like(idx, bool))
+                batch.update(plans_b)
                 rng = jax.random.fold_in(base_rng, step)
 
                 def loss_fn(p):
@@ -167,7 +171,7 @@ class Trainer:
                 return (params, opt_state, new_state, step + 1), loss
 
             (params, opt_state, state, _), losses = jax.lax.scan(
-                body, (params, opt_state, state, step0), order)
+                body, (params, opt_state, state, step0), (order, plans))
             return params, opt_state, state, losses
 
         def eval_epoch(params, state, order, valid, cc_tables):
@@ -288,6 +292,9 @@ class Trainer:
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         self._build_steps(anchors_by_split)
+        # scatter-free embedding-table backward (train/plans.py); widths are
+        # sticky across epochs so recompiles only happen on growth
+        self._plan_builder = P.PlanBuilder(self.params["node_embed"].shape[0])
         base_rng = jax.random.PRNGKey(seed)
         rng_np = np.random.default_rng(seed)
         drop_last = hp.batch_size <= len(train_data)
@@ -324,10 +331,13 @@ class Trainer:
             if fused:
                 order = self._epoch_order(len(train_data), hp.batch_size,
                                           rng_np, drop_last)
+                plans = P.epoch_plans(self._plan_builder, hp,
+                                      train_data.cc_ids,
+                                      anchors_by_split["train"], order)
                 (self.params, self.opt_state, self.state,
                  losses) = self._fused_train_epoch(
                      self.params, self.opt_state, self.state,
-                     jnp.asarray(order), jnp.int32(self.global_step))
+                     jnp.asarray(order), jnp.int32(self.global_step), plans)
                 self.global_step += order.shape[0]
                 train_losses = list(np.asarray(losses, np.float64))
             else:
@@ -336,6 +346,9 @@ class Trainer:
                                                 drop_last=drop_last, rng=rng_np):
                     jbatch = {k: (jnp.asarray(v) if v is not None else None)
                               for k, v in batch.items()}
+                    jbatch.update(P.batch_plans(
+                        self._plan_builder, hp, batch["cc_ids"],
+                        anchors_by_split["train"], batch["subgraph_idx"]))
                     rng = jax.random.fold_in(base_rng, self.global_step)
                     (self.params, self.opt_state, self.state, loss,
                      _, gnorm) = self._train_step(self.params, self.opt_state,

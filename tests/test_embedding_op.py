@@ -120,3 +120,42 @@ def test_grad_under_jit_and_table_padding():
     d_plain = jax.grad(lambda t: t[ids].sum())(table)
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_plain),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_model_grads_with_plans_match_no_plans():
+    """Full SubGNN training-step gradients are identical whether the
+    embedding-table backward goes through gather plans or the plain
+    scatter-add (the integration contract of train/plans.py)."""
+    import __graft_entry__ as ge
+    from subgnn_tpu.train.plans import PlanBuilder, neigh_ids_for_batch
+
+    model, hp, params, state, batch, anchors = ge._build_flagship(
+        n_nodes=100, n_sub=8, C=2, L=4, n_pool=10,
+        hp_overrides=dict(node_embed_size=16, n_layers=2,
+                          n_anchor_patches_N_in=3, n_anchor_patches_N_out=4,
+                          n_anchor_patches_pos_in=3, n_anchor_patches_pos_out=5,
+                          n_anchor_patches_structure=3, n_triangular_walks=2,
+                          random_walk_len=4, linear_hidden_dim_1=8,
+                          linear_hidden_dim_2=8))
+
+    def grads(with_plans):
+        b = dict(batch)
+        if with_plans:
+            builder = PlanBuilder(params["node_embed"].shape[0])
+            b["cc_plan"] = builder.build("cc", np.asarray(b["cc_ids"]))
+            b["neigh_plan"] = builder.build(
+                "neigh", neigh_ids_for_batch(anchors, np.arange(8)))
+
+        def loss(p):
+            logits, _ = model.forward(p, state, b, anchors, train=True,
+                                      rng=jax.random.PRNGKey(0))
+            return model.loss_fn(logits, b["label"], b["valid"])
+
+        return jax.grad(loss)(params)
+
+    g_plain, g_plan = grads(False), grads(True)
+    flat_a, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_b, _ = jax.tree_util.tree_flatten(g_plan)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
