@@ -84,7 +84,8 @@ class SubgraphData:
         return self.cc_ids.shape[0]
 
     def batches(self, batch_size: int, *, shuffle: bool, drop_last: bool,
-                rng: Optional[np.random.Generator] = None):
+                rng: Optional[np.random.Generator] = None,
+                include_np_sim: bool = True):
         """Yield dict batches of numpy arrays with STATIC shapes.
 
         Like the reference loaders (reference: SubGNN/SubGNN.py:1116-1151):
@@ -118,5 +119,10 @@ class SubgraphData:
             }
             for name in ("NP_sim", "I_S_sim", "B_S_sim"):
                 arr = getattr(self, name)
+                if name == "NP_sim" and not include_np_sim:
+                    # compact-sims mode (train/sims.py): anchor columns are
+                    # host-gathered instead of slicing the full tensor
+                    batch[name] = None
+                    continue
                 batch[name] = arr[idx] if arr is not None else None
             yield batch

@@ -281,20 +281,28 @@ class SubGNNModel:
             idx = jnp.clip(anchor_ids - 1, 0, batch["NP_sim"].shape[2] - 1)
             return jnp.take_along_axis(batch["NP_sim"], idx, axis=2)
 
+        # compact mode (train/sims.py): the batch carries pre-gathered
+        # anchor-column similarities instead of the (B, C, n_nodes) tensor
+        neigh_sims = batch.get("neigh_sims")      # (L, B, C, A_in+A_out)
+        pos_in_sims = batch.get("pos_in_sims")    # (L, B, C, A_P_in)
+        pos_out_sims = batch.get("pos_out_sims")  # (L, B, C, A_P_out)
+
         outputs = []
         for l in range(hp.n_layers):
             if hp.use_neighborhood:
                 layer_p = params["channels"]["neighborhood"][l]
                 a_in = n_ids_all[l, :, :, :A_n_in]               # (B, C, A)
                 a_out = n_ids_all[l, :, :, A_n_in:]
+                n_sims = (neigh_sims[l] if neigh_sims is not None
+                          else np_sims_gather(n_ids_all[l]))
                 N_in, _ = mpn_layer(
                     layer_p["internal"], N_in, n_emb_all[l, :, :, :A_n_in],
-                    np_sims_gather(a_in), a_in != PAD_VALUE,
+                    n_sims[:, :, :A_n_in], a_in != PAD_VALUE,
                     use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed)
                 N_out, _ = mpn_layer(
                     layer_p["border"], N_out, n_emb_all[l, :, :, A_n_in:],
-                    np_sims_gather(a_out), a_out != PAD_VALUE,
+                    n_sims[:, :, A_n_in:], a_out != PAD_VALUE,
                     use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed)
                 if hp.batch_norm:
@@ -321,12 +329,14 @@ class SubGNNModel:
                     cc_mask[:, :, None], (B, C, hp.n_anchor_patches_pos_in))
                 P_in, P_in_prop = mpn_layer(
                     layer_p["internal"], P_in, table[ids_in],
-                    np_sims_gather(a_in_bc), valid_in,
+                    (pos_in_sims[l] if pos_in_sims is not None
+                     else np_sims_gather(a_in_bc)), valid_in,
                     use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed,
                     layout="per_subgraph")
                 ids_out = anchors["pos_ext"][l]                    # (A_out,)
-                sims_out = batch["NP_sim"][:, :, ids_out - 1]      # (B,C,A)
+                sims_out = (pos_out_sims[l] if pos_out_sims is not None
+                            else batch["NP_sim"][:, :, ids_out - 1])  # (B,C,A)
                 valid_out = jnp.broadcast_to(
                     cc_mask[:, :, None], (B, C, hp.n_anchor_patches_pos_out))
                 P_out, P_out_prop = mpn_layer(

@@ -7,26 +7,32 @@ table (reference: SubGNN/anchor_patch_samplers.py:404-411 `embed_anchor_patch`
 gather is a scatter-add of one (B*C*A)-row update per step into the
 (n_nodes, D) table. XLA lowers scatter-add on TPU to a mostly serialized
 update loop, which is the dominant remaining per-step cost after the MPN
-einsum layouts (~0.4 ms of a ~2 ms step at B=128).
+einsum layouts.
 
 TPU-native redesign: because the anchor ids of a batch are known on the
 host before dispatch (anchors are pre-sampled per (split, layer) and the
-epoch's batch schedule is host-generated), we precompute a **gather plan**:
+epoch's batch schedule is host-generated), we precompute a **gather plan**
+— a row-split tiled CSR of the transposed gather:
 
   * sort the flat ids once on the host (numpy argsort),
-  * bucket the sorted ids by table-row block (block = TABLE_BLOCK rows),
-  * pad each bucket to a common static width.
+  * bucket the sorted ids by table-row block (TABLE_BLOCK rows),
+  * split each bucket into fixed-width tiles (TILE_WIDTH ids); hot blocks
+    (graph hubs, the PAD row) simply get many tiles, so skewed id
+    distributions cost no padding blow-up,
+  * every table block gets at least one (possibly empty) tile so the
+    output is fully defined.
 
-The backward then becomes, per table block t:
+The backward then becomes, per tile t with table block b = block[t]:
 
-    dtable[t*BT:(t+1)*BT] = onehot(local_ids_t)^T @ g_sorted_t
+    dtable[b*BT:(b+1)*BT] (+)= onehot(local_t)^T @ g_sorted_t
 
 a dense (BT x W) x (W x D) matmul on the MXU with the one-hot built on the
 fly in VMEM (never materialized in HBM) — a Pallas kernel over a
-(n_blocks,) grid. The only data-dependent work left is one XLA row gather
-(g_flat -> padded buckets), which TPUs do at full HBM bandwidth.
-
-Accumulation is fp32 regardless of the activation dtype.
+(n_tiles,) grid whose output block index comes from scalar-prefetched
+`block`; tiles of the same block are consecutive, so the accumulator
+stays resident in VMEM between revisits. The only data-dependent work
+left is one XLA row gather (g_flat -> tiles), which TPUs do at full HBM
+bandwidth. Accumulation is fp32 regardless of the activation dtype.
 """
 from __future__ import annotations
 
@@ -36,42 +42,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TABLE_BLOCK = 128  # table rows per backward matmul block (MXU-sized)
+TABLE_BLOCK = 128   # table rows per output tile (MXU-sized)
+TILE_WIDTH = 512    # ids per plan tile
 
 
 class GatherPlan(NamedTuple):
     """Static routing for the backward of `table[ids]`.
 
-    pos:       (n_blocks, width) int32 — index into the FLAT gradient rows
-               (i.e. into ids.reshape(-1)); padding slots point at n_ids
-               (a zero row appended to the gradient).
-    local_row: (n_blocks, width) int32 — id - block*TABLE_BLOCK for real
-               slots; TABLE_BLOCK (out of range -> all-zero one-hot row)
-               for padding slots.
-    n_rows:    static int, number of table rows (padded table height).
+    pos:   (n_tiles, W) int32 — index into the FLAT gradient rows (i.e.
+           into ids.reshape(-1)); padding slots point at n_ids (a zero row
+           appended to the gradient).
+    local: (n_tiles, W) int32 — id - block*TABLE_BLOCK for real slots;
+           TABLE_BLOCK (out of range -> all-zero one-hot row) for padding.
+    block: (n_tiles,) int32 — table block each tile accumulates into;
+           non-decreasing, covers every block at least once.
+    n_rows: static int, number of table rows the plan covers.
 
     Registered as a pytree with n_rows as static aux data, so plans pass
     through jit / lax.scan (stacked per batch) without tracing n_rows.
     """
 
     pos: jnp.ndarray
-    local_row: jnp.ndarray
+    local: jnp.ndarray
+    block: jnp.ndarray
     n_rows: int
 
 
 jax.tree_util.register_pytree_node(
     GatherPlan,
-    lambda p: ((p.pos, p.local_row), p.n_rows),
-    lambda n_rows, ch: GatherPlan(ch[0], ch[1], n_rows))
+    lambda p: ((p.pos, p.local, p.block), p.n_rows),
+    lambda n_rows, ch: GatherPlan(ch[0], ch[1], ch[2], n_rows))
+
+
+def tiles_needed(ids: np.ndarray, n_rows: int) -> int:
+    """Tile count make_gather_plan would use for this id multiset."""
+    flat = np.asarray(ids, np.int64).reshape(-1)
+    n_blocks = -(-n_rows // TABLE_BLOCK)
+    counts = np.bincount(flat // TABLE_BLOCK, minlength=n_blocks)
+    return int(np.maximum(-(-counts // TILE_WIDTH), 1).sum())
 
 
 def make_gather_plan(ids: np.ndarray, n_rows: int,
-                     width: int | None = None) -> GatherPlan:
+                     n_tiles: int | None = None) -> GatherPlan:
     """Build the backward routing for a static id array (host-side, numpy).
 
-    ids may have any shape; values in [0, n_rows). `width` fixes the padded
-    bucket width (rounded up to a multiple of 8) so plans for same-shaped
-    batches share one compiled kernel; defaults to the max bucket size.
+    ids may have any shape; values in [0, n_rows). `n_tiles` fixes the
+    tile count (>= tiles_needed) so plans for same-shaped batches share
+    one compiled kernel; defaults to exactly tiles_needed. Padding tiles
+    are appended mapped to the last block (pure zero-adds).
     """
     flat = np.asarray(ids, np.int64).reshape(-1)
     if flat.size and (flat.min() < 0 or flat.max() >= n_rows):
@@ -79,87 +97,105 @@ def make_gather_plan(ids: np.ndarray, n_rows: int,
     n_blocks = -(-n_rows // TABLE_BLOCK)
     order = np.argsort(flat, kind="stable").astype(np.int64)
     sorted_ids = flat[order]
-    block_of = sorted_ids // TABLE_BLOCK
-    counts = np.bincount(block_of, minlength=n_blocks)
-    max_count = int(counts.max()) if flat.size else 0
-    if width is None:
-        width = max_count
-    width = max(128, -(-width // 128) * 128)  # lane-aligned bucket width
-    if max_count > width:
-        raise ValueError(f"plan width {width} < max bucket size {max_count}")
+    counts = np.bincount(sorted_ids // TABLE_BLOCK, minlength=n_blocks)
+    tiles_per_block = np.maximum(-(-counts // TILE_WIDTH), 1)
+    need = int(tiles_per_block.sum())
+    if n_tiles is None:
+        n_tiles = need
+    if need > n_tiles:
+        raise ValueError(f"plan needs {need} tiles > requested {n_tiles}")
 
-    pos = np.full((n_blocks, width), flat.size, np.int64)
-    local = np.full((n_blocks, width), TABLE_BLOCK, np.int64)
-    starts = np.concatenate([[0], np.cumsum(counts)])
+    W = TILE_WIDTH
+    pos = np.full((n_tiles, W), flat.size, np.int64)
+    local = np.full((n_tiles, W), TABLE_BLOCK, np.int64)
+    block = np.full(n_tiles, n_blocks - 1, np.int64)
+    t = 0
+    start = 0
     for b in range(n_blocks):
-        c = counts[b]
-        if c:
-            seg = slice(starts[b], starts[b] + c)
-            pos[b, :c] = order[seg]
-            local[b, :c] = sorted_ids[seg] - b * TABLE_BLOCK
+        c = int(counts[b])
+        for k in range(int(tiles_per_block[b])):
+            lo = start + k * W
+            hi = min(start + c, lo + W)
+            m = max(hi - lo, 0)
+            if m:
+                pos[t, :m] = order[lo:hi]
+                local[t, :m] = sorted_ids[lo:hi] - b * TABLE_BLOCK
+            block[t] = b
+            t += 1
+        start += c
     return GatherPlan(jnp.asarray(pos, jnp.int32),
-                      jnp.asarray(local, jnp.int32), int(n_rows))
-
-
-def plan_width_for(n_ids: int, n_rows: int, slack: float = 1.35) -> int:
-    """A shared static width for batches of ~uniformly spread ids: expected
-    bucket size times `slack`, floored at 64. Lets every batch of an epoch
-    reuse one compiled kernel; make_gather_plan raises if a batch exceeds
-    it (caller falls back to an exact-width plan)."""
-    n_blocks = max(1, -(-n_rows // TABLE_BLOCK))
-    expect = -(-n_ids // n_blocks)
-    return max(128, int(expect * slack))
+                      jnp.asarray(local, jnp.int32),
+                      jnp.asarray(block, jnp.int32), int(n_rows))
 
 
 # ---------------------------------------------------------------- backward
 
 
 def _segment_matmul_xla(g_pad, plan: GatherPlan, out_dtype):
-    """Reference/fallback backward: padded-bucket one-hot einsum in XLA.
-    Used on CPU and in tests; materializes the one-hot, so the Pallas path
-    is preferred on TPU."""
-    gb = g_pad[plan.pos]                                   # (n_blocks, W, D)
-    onehot = (plan.local_row[:, :, None]
-              == jnp.arange(TABLE_BLOCK)[None, None, :])   # (n_blocks, W, BT)
-    out = jnp.einsum("nwb,nwd->nbd", onehot.astype(jnp.float32),
-                     gb.astype(jnp.float32))
-    return out.reshape(-1, g_pad.shape[-1])[: plan.n_rows].astype(out_dtype)
+    """Reference/fallback backward: per-tile one-hot einsum + a small
+    block-level scatter-add. Used on CPU and in tests; the Pallas path is
+    preferred on TPU (no materialized one-hot, no scatter)."""
+    D = g_pad.shape[-1]
+    n_blocks = -(-plan.n_rows // TABLE_BLOCK)
+    gb = g_pad[plan.pos]                                    # (T, W, D)
+    onehot = (plan.local[:, :, None]
+              == jnp.arange(TABLE_BLOCK)[None, None, :])    # (T, W, BT)
+    contrib = jnp.einsum("twb,twd->tbd", onehot.astype(jnp.float32),
+                         gb.astype(jnp.float32))            # (T, BT, D)
+    out = jnp.zeros((n_blocks, TABLE_BLOCK, D), jnp.float32
+                    ).at[plan.block].add(contrib)
+    return out.reshape(-1, D)[: plan.n_rows].astype(out_dtype)
 
 
 def _segment_matmul_pallas(g_pad, plan: GatherPlan, out_dtype):
-    """dtable = blocked onehot^T @ g via a Pallas kernel, one grid step per
-    TABLE_BLOCK rows of the table; the one-hot lives only in VMEM."""
+    """dtable = tiled onehot^T @ g via a Pallas kernel over (n_tiles,);
+    the output block index is scalar-prefetched and consecutive same-block
+    tiles accumulate in VMEM (revisiting)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = g_pad.shape[-1]
-    n_blocks, W = plan.pos.shape
-    gb = g_pad[plan.pos.reshape(-1)].reshape(n_blocks, W, D)
+    n_tiles, W = plan.pos.shape
+    n_blocks = -(-plan.n_rows // TABLE_BLOCK)
+    gb = g_pad[plan.pos.reshape(-1)].reshape(n_tiles, W, D)
 
-    def kernel(local_ref, g_ref, out_ref):
-        local = local_ref[:]                               # (1, W)
-        onehot = (local[0, :, None]
+    def kernel(block_ref, local_ref, g_ref, out_ref):
+        t = pl.program_id(0)
+        local = local_ref[0, :]                             # (W,)
+        onehot = (local[:, None]
                   == jax.lax.broadcasted_iota(
                       jnp.int32, (W, TABLE_BLOCK), 1)).astype(g_ref.dtype)
-        out_ref[:] = jax.lax.dot_general(
+        contrib = jax.lax.dot_general(
             onehot, g_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+            preferred_element_type=jnp.float32)
+        prev = block_ref[jnp.maximum(t - 1, 0)]
+        first = jnp.logical_or(t == 0, block_ref[t] != prev)
 
+        @pl.when(first)
+        def _():
+            out_ref[:] = contrib.astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + contrib.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda t, blk: (t, 0)),
+            pl.BlockSpec((1, W, D), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TABLE_BLOCK, D),
+                               lambda t, blk: (blk[t], 0)),
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, W), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TABLE_BLOCK, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks * TABLE_BLOCK, D),
                                        jnp.float32),
-    )(plan.local_row, gb)
+    )(plan.block, plan.local, gb)
     return out[: plan.n_rows].astype(out_dtype)
 
 

@@ -23,6 +23,12 @@ from ..config import HParams
 from ..models.subgnn import SubGNNModel
 from . import metrics as M
 from . import plans as P
+from . import sims as S
+
+# combined NP-sim bytes (train+val) above which the trainer switches to
+# host-gathered anchor-column similarities (train/sims.py) instead of
+# keeping the (n_sub, C, n_nodes) tensors device-resident
+COMPACT_NP_SIM_BYTES = 256 << 20
 from .checkpoint import TopKCheckpoints
 from .tb_writer import TBWriter
 
@@ -78,6 +84,8 @@ class Trainer:
         self.opt_state = None
         self.global_step = 0
         self._grad_norms = []
+        # None = auto by NP-sim size (see fit); set True/False to force
+        self.compact_sims: Optional[bool] = None
         if hp.debug_mode:
             # NaN/inf checking inside jit, the reference's always-on
             # torch.autograd.set_detect_anomaly analog (train.py:439)
@@ -117,12 +125,13 @@ class Trainer:
     # ------------------------------------------------------- fused epochs
 
     @staticmethod
-    def _device_split(data) -> Dict[str, Any]:
+    def _device_split(data, include_np_sim: bool = True) -> Dict[str, Any]:
         """Move a whole split's arrays to device once (fused-epoch mode)."""
         return {
             "cc_ids": jnp.asarray(data.cc_ids),
             "label": jnp.asarray(data.labels),
-            "NP_sim": jnp.asarray(data.NP_sim) if data.NP_sim is not None else None,
+            "NP_sim": (jnp.asarray(data.NP_sim)
+                       if data.NP_sim is not None and include_np_sim else None),
             "I_S_sim": jnp.asarray(data.I_S_sim) if data.I_S_sim is not None else None,
             "B_S_sim": jnp.asarray(data.B_S_sim) if data.B_S_sim is not None else None,
         }
@@ -145,16 +154,16 @@ class Trainer:
         train_anchors = anchors_by_split["train"]
         val_anchors = anchors_by_split["val"]
 
-        def train_epoch(params, opt_state, state, order, step0, plans):
-            # order: (n_batches, B) int32 of subgraph indices; plans: dict
-            # of per-batch-stacked GatherPlans (train/plans.py) routing the
-            # embedding-table backward around the scatter-add
+        def train_epoch(params, opt_state, state, order, step0, extras):
+            # order: (n_batches, B) int32 of subgraph indices; extras: dict
+            # of per-batch-stacked GatherPlans (train/plans.py) and compact
+            # anchor-column sims (train/sims.py)
             def body(carry, inp):
                 params, opt_state, state, step = carry
-                idx, plans_b = inp
+                idx, extras_b = inp
                 batch = self._gather_batch(train_arrays, idx,
                                            jnp.ones_like(idx, bool))
-                batch.update(plans_b)
+                batch.update(extras_b)
                 rng = jax.random.fold_in(base_rng, step)
 
                 def loss_fn(p):
@@ -171,20 +180,22 @@ class Trainer:
                 return (params, opt_state, new_state, step + 1), loss
 
             (params, opt_state, state, _), losses = jax.lax.scan(
-                body, (params, opt_state, state, step0), (order, plans))
+                body, (params, opt_state, state, step0), (order, extras))
             return params, opt_state, state, losses
 
-        def eval_epoch(params, state, order, valid, cc_tables):
+        def eval_epoch(params, state, order, valid, cc_tables, extras):
             def body(_, inp):
-                idx, v = inp
+                idx, v, extras_b = inp
                 batch = self._gather_batch(val_arrays, idx, v)
+                batch.update(extras_b)
                 logits, _ = model.forward(params, state, batch, val_anchors,
                                           train=False, rng=None,
                                           cc_tables=cc_tables)
                 loss = model.loss_fn(logits, batch["label"], batch["valid"])
                 return None, (loss, logits)
 
-            _, (losses, logits) = jax.lax.scan(body, None, (order, valid))
+            _, (losses, logits) = jax.lax.scan(body, None,
+                                               (order, valid, extras))
             return losses, logits
 
         self._fused_train_epoch = jax.jit(train_epoch)
@@ -214,19 +225,33 @@ class Trainer:
 
     # ----------------------------------------------------------------- eval
 
+    def _use_compact(self, data) -> bool:
+        if data.NP_sim is None:
+            return False
+        if self.compact_sims is None:
+            return data.NP_sim.nbytes > COMPACT_NP_SIM_BYTES
+        return bool(self.compact_sims)
+
     def evaluate(self, data, anchors, split: str = "val") -> Dict[str, Any]:
         """Run the eval loop and aggregate metrics with the reference's key
         names (reference: SubGNN.py:408-504)."""
         model, hp = self.model, self.hp
+        compact = self._use_compact(data)
         cc_tables = None
         if hp.trainable_cc:
             cc_tables = self.eval_cc_tables.get(split,
                                                 self.params.get("train_cc"))
         logits_all, labels_all, losses, accs, f1s = [], [], [], [], []
-        for batch in data.batches(hp.batch_size, shuffle=False, drop_last=False):
+        for batch in data.batches(hp.batch_size, shuffle=False, drop_last=False,
+                                  include_np_sim=not compact):
             valid = batch["valid"]
             jbatch = {k: (jnp.asarray(v) if v is not None else None)
                       for k, v in batch.items()}
+            if compact:
+                jbatch.update({k: jnp.asarray(v)
+                               for k, v in S.compact_sims_for_batch(
+                                   data.NP_sim, anchors, hp,
+                                   batch["subgraph_idx"]).items()})
             loss, logits = self._eval_step(self.params, self.state, jbatch,
                                            anchors, cc_tables)
             logits = np.asarray(logits)[valid]
@@ -299,27 +324,45 @@ class Trainer:
         rng_np = np.random.default_rng(seed)
         drop_last = hp.batch_size <= len(train_data)
 
+        # Compact-sims mode: when the (n_sub, C, n_nodes) NP-similarity
+        # tensors are large, ship host-gathered anchor columns per batch
+        # instead of keeping them device-resident (train/sims.py) — this is
+        # what makes fused-epoch training possible at EM-USER graph scale.
+        np_bytes = sum(d.NP_sim.nbytes for d in (train_data, val_data)
+                       if d.NP_sim is not None)
+        if self.compact_sims is None:
+            self.compact_sims = np_bytes > COMPACT_NP_SIM_BYTES
+        compact = bool(self.compact_sims and train_data.NP_sim is not None)
+
         # Fused-epoch mode: whole split resident on device, one dispatch per
         # train epoch + one per eval. On by default when the split fits and
         # batches are uniform; per-step streaming otherwise (huge datasets,
         # short-batch training, per-epoch anchor resampling).
+        resident_bytes = (self._split_bytes(train_data)
+                          + self._split_bytes(val_data)
+                          - (np_bytes if compact else 0))
         fused = (drop_last and not hp.resample_anchor_patches
                  and not hp.debug_mode  # debug wants per-step grad norms
-                 and (self._split_bytes(train_data)
-                      + self._split_bytes(val_data)) < (1 << 30))
+                 and resident_bytes < (1 << 30))
         if fused:
-            train_arrays = self._device_split(train_data)
-            val_arrays = self._device_split(val_data)
+            train_arrays = self._device_split(train_data,
+                                              include_np_sim=not compact)
+            val_arrays = self._device_split(val_data,
+                                            include_np_sim=not compact)
             self._build_fused(train_arrays, val_arrays, anchors_by_split,
                               base_rng)
             n_val = len(val_data)
             nb_val = -(-n_val // hp.batch_size)
             val_idx = np.arange(nb_val * hp.batch_size) % n_val
-            val_order = jnp.asarray(
-                val_idx.reshape(nb_val, hp.batch_size).astype(np.int32))
+            val_order_np = val_idx.reshape(nb_val, hp.batch_size).astype(np.int32)
+            val_order = jnp.asarray(val_order_np)
             val_valid = jnp.asarray(
                 (np.arange(nb_val * hp.batch_size) < n_val)
                 .reshape(nb_val, hp.batch_size))
+            val_extras = (S.epoch_compact_sims(val_data.NP_sim,
+                                               anchors_by_split["val"], hp,
+                                               val_order_np)
+                          if compact else {})
             val_cc_tables = None
             if hp.trainable_cc:
                 val_cc_tables = self.eval_cc_tables.get("val")
@@ -331,24 +374,36 @@ class Trainer:
             if fused:
                 order = self._epoch_order(len(train_data), hp.batch_size,
                                           rng_np, drop_last)
-                plans = P.epoch_plans(self._plan_builder, hp,
-                                      train_data.cc_ids,
-                                      anchors_by_split["train"], order)
+                extras = P.epoch_plans(self._plan_builder, hp,
+                                       train_data.cc_ids,
+                                       anchors_by_split["train"], order)
+                if compact:
+                    extras.update(S.epoch_compact_sims(
+                        train_data.NP_sim, anchors_by_split["train"], hp,
+                        order))
                 (self.params, self.opt_state, self.state,
                  losses) = self._fused_train_epoch(
                      self.params, self.opt_state, self.state,
-                     jnp.asarray(order), jnp.int32(self.global_step), plans)
+                     jnp.asarray(order), jnp.int32(self.global_step), extras)
                 self.global_step += order.shape[0]
                 train_losses = list(np.asarray(losses, np.float64))
             else:
                 train_losses = []
                 for batch in train_data.batches(hp.batch_size, shuffle=True,
-                                                drop_last=drop_last, rng=rng_np):
+                                                drop_last=drop_last, rng=rng_np,
+                                                include_np_sim=not compact):
                     jbatch = {k: (jnp.asarray(v) if v is not None else None)
                               for k, v in batch.items()}
                     jbatch.update(P.batch_plans(
                         self._plan_builder, hp, batch["cc_ids"],
                         anchors_by_split["train"], batch["subgraph_idx"]))
+                    if compact:
+                        jbatch.update({
+                            k: jnp.asarray(v)
+                            for k, v in S.compact_sims_for_batch(
+                                train_data.NP_sim,
+                                anchors_by_split["train"], hp,
+                                batch["subgraph_idx"]).items()})
                     rng = jax.random.fold_in(base_rng, self.global_step)
                     (self.params, self.opt_state, self.state, loss,
                      _, gnorm) = self._train_step(self.params, self.opt_state,
@@ -364,7 +419,7 @@ class Trainer:
             if fused:
                 v_losses, v_logits = self._fused_eval_epoch(
                     self.params, self.state, val_order, val_valid,
-                    val_cc_tables)
+                    val_cc_tables, val_extras)
                 v_logits = np.asarray(v_logits)
                 v_valid = np.asarray(val_valid)
                 flat_logits = v_logits.reshape(-1, v_logits.shape[-1])[

@@ -9,9 +9,11 @@ the epoch's batch schedule are both host-known before dispatch, so plans
 are built here in numpy and shipped with the batch (stacked per epoch for
 the fused lax.scan trainer).
 
-Plan widths must be static for XLA: a PlanBuilder remembers the width per
-plan name and only grows it (in 128-row steps) when a batch's densest
-table block exceeds it — one extra compile per growth, stable thereafter.
+Plan tile counts must be static for XLA: a PlanBuilder remembers the tile
+count per plan name and only grows it (with headroom) when a batch needs
+more — one extra compile per growth, stable thereafter. Tiling is
+row-split (ops/embedding.py), so skewed id distributions (hub nodes, the
+PAD row) cost extra tiles, never wider tiles.
 """
 from __future__ import annotations
 
@@ -19,8 +21,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..ops.embedding import (GatherPlan, TABLE_BLOCK, make_gather_plan,
-                             plan_width_for)
+from ..ops.embedding import GatherPlan, make_gather_plan, tiles_needed
 
 
 def neigh_ids_for_batch(anchors, idx: np.ndarray) -> np.ndarray:
@@ -33,42 +34,38 @@ def neigh_ids_for_batch(anchors, idx: np.ndarray) -> np.ndarray:
 
 
 class PlanBuilder:
-    """Builds per-batch plans with sticky, growth-only widths."""
+    """Builds per-batch plans with sticky, growth-only tile counts."""
 
     def __init__(self, n_rows: int):
         self.n_rows = int(n_rows)
-        self.widths: Dict[str, int] = {}
+        self.tiles: Dict[str, int] = {}
 
-    def _width(self, name: str, flat: np.ndarray) -> int:
-        n_blocks = -(-self.n_rows // TABLE_BLOCK)
-        counts = np.bincount(flat // TABLE_BLOCK, minlength=n_blocks)
-        need = int(counts.max()) if flat.size else 1
-        prev = self.widths.get(name, 0)
-        base = plan_width_for(flat.size, self.n_rows)
-        if need > max(prev, base):
-            # growing past the estimate: add 25% headroom so shuffle-to-
-            # shuffle variation doesn't trigger a recompile every epoch
-            need = int(need * 1.25)
-        w = max(prev, base, -(-need // 128) * 128)
-        self.widths[name] = w
-        return w
+    def _tiles(self, name: str, ids: np.ndarray) -> int:
+        need = tiles_needed(ids, self.n_rows)
+        prev = self.tiles.get(name, 0)
+        if need > prev:
+            # growing: add ~6% headroom so shuffle-to-shuffle variation
+            # doesn't trigger a recompile every epoch
+            need = max(need + 2, int(need * 1.0625))
+        t = max(prev, need)
+        self.tiles[name] = t
+        return t
 
     def build(self, name: str, ids: np.ndarray) -> GatherPlan:
-        flat = np.asarray(ids, np.int64).reshape(-1)
         return make_gather_plan(ids, self.n_rows,
-                                width=self._width(name, flat))
+                                n_tiles=self._tiles(name, ids))
 
     def build_stacked(self, name: str, ids_per_batch) -> GatherPlan:
-        """One plan per batch, all with a common width, stacked along a
-        leading axis (for lax.scan)."""
+        """One plan per batch, all with a common tile count, stacked along
+        a leading axis (for lax.scan)."""
         import jax.numpy as jnp
-        flats = [np.asarray(i, np.int64).reshape(-1) for i in ids_per_batch]
-        w = max(self._width(name, f) for f in flats)
-        self.widths[name] = w
-        plans = [make_gather_plan(i, self.n_rows, width=w)
-                 for i in ids_per_batch]
+        t = max(self._tiles(name, ids) for ids in ids_per_batch)
+        self.tiles[name] = t
+        plans = [make_gather_plan(ids, self.n_rows, n_tiles=t)
+                 for ids in ids_per_batch]
         return GatherPlan(jnp.stack([p.pos for p in plans]),
-                          jnp.stack([p.local_row for p in plans]),
+                          jnp.stack([p.local for p in plans]),
+                          jnp.stack([p.block for p in plans]),
                           self.n_rows)
 
 

@@ -11,8 +11,8 @@ import numpy as np
 import pytest
 
 from subgnn_tpu.ops.embedding import (
-    GatherPlan, TABLE_BLOCK, embedding_gather, make_gather_plan,
-    plan_width_for, _segment_matmul_xla)
+    GatherPlan, TABLE_BLOCK, TILE_WIDTH, embedding_gather, make_gather_plan,
+    tiles_needed, _segment_matmul_xla)
 
 
 def _grad_pair(table, ids, plan, g_seed=1):
@@ -62,19 +62,36 @@ def test_repeated_ids_accumulate():
     assert np.abs(np.asarray(d_op)[3]).sum() > 0
 
 
-def test_shared_width_plans_have_same_shape():
+def test_shared_tile_plans_have_same_shape():
     rng = np.random.default_rng(2)
     n_rows, n_ids = 1000, 5000
-    w = plan_width_for(n_ids, n_rows)
-    plans = [make_gather_plan(rng.integers(0, n_rows, n_ids), n_rows, width=w)
-             for _ in range(3)]
+    batches = [rng.integers(0, n_rows, n_ids) for _ in range(3)]
+    t = max(tiles_needed(b, n_rows) for b in batches)
+    plans = [make_gather_plan(b, n_rows, n_tiles=t) for b in batches]
     assert len({p.pos.shape for p in plans}) == 1
 
 
-def test_width_overflow_raises():
-    ids = np.zeros(500, np.int64)  # all in one block
+def test_tile_overflow_raises():
+    ids = np.zeros(2 * TILE_WIDTH, np.int64)  # one hot block, needs 2 tiles
     with pytest.raises(ValueError):
-        make_gather_plan(ids, 1000, width=128)
+        make_gather_plan(ids, 1000, n_tiles=tiles_needed(ids, 1000) - 1)
+
+
+def test_skewed_ids_grow_tiles_not_width():
+    """Hub-concentrated ids (the component250 regression): all ids in one
+    TABLE_BLOCK must produce ~n_ids/TILE_WIDTH tiles of fixed width, and
+    gradients must still be exact."""
+    rng = np.random.default_rng(5)
+    n_rows, D = 10 * TABLE_BLOCK, 16
+    ids = jnp.asarray(rng.integers(0, TABLE_BLOCK, 3000).astype(np.int32))
+    plan = make_gather_plan(np.asarray(ids), n_rows)
+    assert plan.pos.shape[1] == TILE_WIDTH
+    # 6 tiles for the hot block + 1 coverage tile per empty block
+    assert plan.pos.shape[0] == 6 + 9
+    table = jnp.asarray(rng.normal(size=(n_rows, D)).astype(np.float32))
+    d_op, d_plain = _grad_pair(table, ids, plan)
+    np.testing.assert_allclose(np.asarray(d_op), np.asarray(d_plain),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_matches_xla_backend(monkeypatch):
@@ -84,7 +101,10 @@ def test_pallas_matches_xla_backend(monkeypatch):
 
     rng = np.random.default_rng(3)
     n_rows, D, n_ids = 4 * TABLE_BLOCK, 32, 2000
-    ids = rng.integers(0, n_rows, n_ids)
+    # mix uniform + hub-skewed ids so tiles revisit blocks
+    ids = np.concatenate([rng.integers(0, n_rows, n_ids),
+                          np.full(3 * TILE_WIDTH, 7)])
+    n_ids = ids.size
     plan = make_gather_plan(ids, n_rows)
     g_pad = jnp.asarray(
         rng.normal(size=(n_ids + 1, D)).astype(np.float32)).at[-1].set(0.0)

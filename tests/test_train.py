@@ -245,3 +245,44 @@ def test_debug_mode_grad_norms(rng):
         assert t.metric_scores[-1]["grad_norm"] > 0
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_compact_sims_match_resident(rng):
+    """compact_sims mode (host-gathered anchor-column similarities,
+    train/sims.py) reproduces the resident-NP_sim trainer exactly, in both
+    fused and streaming modes, including the evaluate() path."""
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(max_epochs=3, batch_size=3)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    results = {}
+    for mode in (False, True):
+        t = Trainer(model, hp)
+        t.compact_sims = mode
+        t.fit(params, state, data, data,
+              {"train": anchors, "val": anchors}, seed=0, log_fn=None)
+        test_m = t.evaluate(data, anchors, "test")
+        results[mode] = (t.params, t.metric_scores, test_m)
+
+    p_res, m_res, e_res = results[False]
+    p_cmp, m_cmp, e_cmp = results[True]
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_res),
+            jax.tree_util.tree_leaves_with_path(p_cmp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
+    np.testing.assert_allclose([m["train_loss"] for m in m_res],
+                               [m["train_loss"] for m in m_cmp], atol=1e-6)
+    np.testing.assert_allclose([m["val_micro_f1"] for m in m_res],
+                               [m["val_micro_f1"] for m in m_cmp])
+    assert e_res["test_micro_f1"] == e_cmp["test_micro_f1"]
+    np.testing.assert_allclose(e_res["test_loss"], e_cmp["test_loss"],
+                               atol=1e-6)
