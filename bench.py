@@ -47,13 +47,16 @@ def main():
         hp_overrides=hp_overrides)
 
     # host-side gather plans: embedding-table backward as blocked MXU
-    # matmuls instead of a scatter-add (subgnn_tpu/ops/embedding.py)
-    from subgnn_tpu.train.plans import PlanBuilder, neigh_ids_for_batch
-    builder = PlanBuilder(params["node_embed"].shape[0])
-    idx = np.arange(B)
-    batch["cc_plan"] = builder.build("cc", np.asarray(batch["cc_ids"]))
-    batch["neigh_plan"] = builder.build(
-        "neigh", neigh_ids_for_batch(anchors, idx))
+    # matmuls instead of a scatter-add (subgnn_tpu/ops/embedding.py);
+    # BENCH_NO_PLANS=1 reverts to the scatter path for A/B runs
+    import os
+    if not os.environ.get("BENCH_NO_PLANS"):
+        from subgnn_tpu.train.plans import PlanBuilder, neigh_ids_for_batch
+        builder = PlanBuilder(params["node_embed"].shape[0])
+        idx = np.arange(B)
+        batch["cc_plan"] = builder.build("cc", np.asarray(batch["cc_ids"]))
+        batch["neigh_plan"] = builder.build(
+            "neigh", neigh_ids_for_batch(anchors, idx))
 
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)

@@ -1,0 +1,104 @@
+"""Full reference protocol on a synthetic instance: generate -> HPO ->
+multi-seed retest (the reference's train_config.py + test.py flow,
+reference: SubGNN/train_config.py:202-279, SubGNN/test.py:27-103).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_synthetic_protocol.py \
+        -property density -task density250 -n_subgraphs 250 \
+        [-n 1000] [-trials 15] [-seeds 5] [-max_epochs 120]
+
+Writes data/<task>/..., data/tb/<task>_hpo/study.json (resumable),
+data/best_<task>/hyperparams.json and
+data/results/<task>_hpo_<seeds>seeds/experiment_results.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-property", default="density",
+                    choices=["density", "cut_ratio", "coreness", "cc"])
+    ap.add_argument("-task", required=True)
+    ap.add_argument("-n", type=int, default=1000)
+    ap.add_argument("-n_subgraphs", type=int, default=250)
+    ap.add_argument("-n_subgraph_nodes", type=int, default=20)
+    ap.add_argument("-trials", type=int, default=15)
+    ap.add_argument("-seeds", type=int, default=5)
+    ap.add_argument("-max_epochs", type=int, default=120)
+    ap.add_argument("-project_root", default="data")
+    args = ap.parse_args()
+
+    root = Path(args.project_root)
+    task_dir = root / args.task
+    t0 = time.time()
+    if not (task_dir / "subgraphs.pth").exists():
+        from subgnn_tpu.cli.prepare_dataset import prepare
+        prepare(task_dir, args.property, seed=42, conv="gin", emb_dim=64,
+                emb_epochs=80, n=args.n, n_subgraphs=args.n_subgraphs,
+                n_subgraph_nodes=args.n_subgraph_nodes)
+        print(f"prep done {time.time() - t0:.0f}s", flush=True)
+
+    from subgnn_tpu.cli.train_config import run_study
+    from subgnn_tpu.cli.test import run_seeds
+
+    cfg = {
+        "data": {"task": args.task},
+        "tb": {"dir": "tb", "name": f"{args.task}_hpo"},
+        "optuna": {"opt_n_trials": args.trials,
+                   "monitor_metric": "val_micro_f1",
+                   "opt_direction": "maximize", "sampler": "random",
+                   "pruning": True},
+        "hyperparams_fix": {
+            "max_epochs": args.max_epochs, "use_neighborhood": True,
+            "use_structure": True, "use_position": True, "seed": 3,
+            "structure_patch_type": "triangular_random_walk",
+            "lstm_aggregator": "last", "resample_anchor_patches": False,
+            "freeze_node_embeds": False, "use_mpn_projection": True,
+            "compute_similarities": False, "sample_walk_len": 50,
+            "n_triangular_walks": 5, "random_walk_len": 10, "rw_beta": 0.65,
+            "max_sim_epochs": 5, "embedding_type": "gin", "batch_size": 64,
+            "n_layers": 1,
+            "n_anchor_patches_pos_out": 60, "n_anchor_patches_pos_in": 30,
+            "n_anchor_patches_N_in": 10, "n_anchor_patches_N_out": 30,
+            "n_anchor_patches_structure": 20, "linear_hidden_dim_1": 64,
+            "linear_hidden_dim_2": 32,
+        },
+        "hyperparams_optuna": {
+            "learning_rate": {"type": "suggest_float", "args": [3e-4, 1e-2],
+                              "kwargs": {"log": True}},
+            "grad_clip": {"type": "suggest_float", "args": [0.0, 0.5]},
+            "cc_aggregator": {"type": "suggest_categorical",
+                              "args": [["sum", "max"]]},
+            "lin_dropout": {"type": "suggest_float", "args": [0.0, 0.4]},
+            "trainable_cc": {"type": "suggest_categorical",
+                             "args": [[True, False]]},
+        },
+    }
+    cfg_path = root / f"{args.task}_hpo.json"
+    cfg_path.write_text(json.dumps(cfg))
+    study = run_study(str(cfg_path), project_root=str(root), log_fn=None)
+    best = study.best_trial
+    print("BEST TRIAL:", best["number"], best["value"],
+          json.dumps(best["params"], default=float), flush=True)
+
+    hyp = dict(cfg["hyperparams_fix"])
+    hyp.update(best["params"])
+    out_dir = root / f"best_{args.task}"
+    out_dir.mkdir(exist_ok=True)
+    (out_dir / "hyperparams.json").write_text(json.dumps(hyp, indent=2))
+    res = run_seeds(args.task, str(root), str(out_dir / "hyperparams.json"),
+                    n_seeds=args.seeds,
+                    out_dir=str(root / "results" / f"{args.task}_hpo_{args.seeds}seeds"),
+                    log_fn=lambda m: print(m, flush=True)
+                    if m.startswith("seed") else None)
+    print("FINAL:", json.dumps(
+        {k: v for k, v in res.items() if k.endswith(("mean", "sd"))}),
+        flush=True)
+
+
+if __name__ == "__main__":
+    main()
