@@ -86,9 +86,12 @@ def mpn_layer(params, cc_embeds, anchor_embeds, sims, anchor_valid, *,
         proj = (anchor_embeds @ w_pos)[..., 0]                    # (B, A)
         prop_pre = w * proj[:, None, :] + b_pos
     elif layout == "full":
-        msgs = w[..., None] * anchor_embeds                       # (B,C,A,D)
-        agg = msgs.sum(axis=2)
-        prop_pre = (msgs @ w_pos)[..., 0] + b_pos
+        # same factoring as the shared layouts: never materialize the
+        # (B, C, A, D) message tensor — agg contracts on the MXU and the
+        # property head uses (w*emb) @ W == w * (emb @ W)
+        agg = jnp.einsum("bca,bcad->bcd", w, anchor_embeds)
+        proj = (anchor_embeds @ w_pos)[..., 0]                    # (B,C,A)
+        prop_pre = w * proj + b_pos
     else:
         raise ValueError(layout)
 
