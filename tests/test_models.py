@@ -324,3 +324,53 @@ def test_mpn_layouts_equivalent(rng):
                        layout="per_subgraph")
     np.testing.assert_allclose(np.asarray(u3), np.asarray(u4), atol=1e-5)
     np.testing.assert_allclose(np.asarray(p3), np.asarray(p4), atol=1e-5)
+
+
+def test_ff_attn_readout(rng):
+    """Additive-attention readout path (hp.ff_attn, reference:
+    SubGNN.py:180-183,298-303): finite logits, attention params get grads,
+    and the output differs from the masked-sum readout."""
+    hp = HP.replace(ff_attn=True)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    logits, _ = model.forward(params, state, batch, anchors, train=False,
+                              rng=None)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    model2, params2, _, _, _, _ = build_toy(HP, rng)
+    # same weights except the attention extras -> different readout
+    for k in ("node_embed", "lstm", "head", "channels"):
+        params2[k] = params[k]
+    logits2, _ = model2.forward(params2, state, batch, anchors, train=False,
+                                rng=None)
+    assert np.abs(np.asarray(logits) - np.asarray(logits2)).max() > 1e-6
+
+    def loss(p):
+        lg, _ = model.forward(p, state, batch, anchors, train=True,
+                              rng=jax.random.PRNGKey(0))
+        return (lg ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["attn"]["w"]).max()) > 0
+    assert float(jnp.abs(g["attn_vector"]).max()) > 0
+
+
+def test_batch_norm_train_updates_running_stats(rng):
+    """hp.batch_norm (reference: SubGNN.py:150-157,267-290): training
+    updates the running mean/var; eval uses them (same batch gives
+    different outputs once stats moved)."""
+    hp = HP.replace(batch_norm=True)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    assert state["bn"], "bn state expected"
+    logits_tr, new_state = model.forward(params, state, batch, anchors,
+                                         train=True,
+                                         rng=jax.random.PRNGKey(0))
+    key = next(iter(state["bn"]))
+    moved = np.abs(np.asarray(new_state["bn"][key]["mean"])
+                   - np.asarray(state["bn"][key]["mean"])).max()
+    assert moved > 0
+    ev_before, _ = model.forward(params, state, batch, anchors, train=False,
+                                 rng=None)
+    ev_after, _ = model.forward(params, new_state, batch, anchors,
+                                train=False, rng=None)
+    assert np.abs(np.asarray(ev_before) - np.asarray(ev_after)).max() > 0
+    assert np.isfinite(np.asarray(logits_tr)).all()
