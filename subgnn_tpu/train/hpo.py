@@ -35,12 +35,21 @@ class Trial:
 
     def __init__(self, rng: np.random.Generator,
                  fixed: Optional[Dict[str, Any]] = None,
-                 study: "Study | None" = None):
+                 study: "Study | None" = None,
+                 sampler_hook: Optional[Callable[..., Any]] = None):
         self.rng = rng
         self.params: Dict[str, Any] = {}
         self.fixed = fixed or {}
         self.study = study
+        self.sampler_hook = sampler_hook
         self.intermediate: Dict[int, float] = {}
+
+    def _hook(self, name: str, kind: str, **meta):
+        """Ask the study's sampler (e.g. TPE) for a value; None -> the
+        caller falls back to a random draw."""
+        if self.sampler_hook is None:
+            return None
+        return self.sampler_hook(name, kind, meta, self.rng)
 
     # --- pruning (median pruner semantics like optuna.pruners.MedianPruner,
     # the reference's pruner at train_config.py:242-243) ---
@@ -75,11 +84,17 @@ class Trial:
     def suggest_categorical(self, name, choices):
         if name in self.fixed:
             return self._record(name, self.fixed[name])
+        v = self._hook(name, "categorical", choices=choices)
+        if v is not None:
+            return self._record(name, v)
         return self._record(name, choices[int(self.rng.integers(len(choices)))])
 
     def suggest_int(self, name, low, high, step=1, log=False):
         if name in self.fixed:
             return self._record(name, self.fixed[name])
+        v = self._hook(name, "int", low=low, high=high, log=log)
+        if v is not None:
+            return self._record(name, int(np.clip(int(round(v)), low, high)))
         if log:
             v = int(round(math.exp(self.rng.uniform(math.log(low),
                                                     math.log(high)))))
@@ -89,6 +104,11 @@ class Trial:
     def suggest_float(self, name, low, high, step=None, log=False):
         if name in self.fixed:
             return self._record(name, self.fixed[name])
+        v = self._hook(name, "float", low=low, high=high, log=log, step=step)
+        if v is not None:
+            if step:
+                v = low + step * round((v - low) / step)
+            return self._record(name, float(np.clip(v, low, high)))
         if log:
             return self._record(name, float(math.exp(
                 self.rng.uniform(math.log(low), math.log(high)))))
@@ -133,6 +153,80 @@ def _grid_points(space: Dict[str, List[Any]]) -> List[Dict[str, Any]]:
     return points
 
 
+class TPESampler:
+    """Univariate Tree-structured Parzen Estimator, the reference's default
+    sampler (reference: train_config.py:28,255-262 uses
+    optuna.samplers.TPESampler when the config names neither grid nor
+    random). Per parameter: split completed trials into the top `gamma`
+    quantile ("good") and the rest, model each side with a Gaussian KDE
+    (category frequencies for categoricals), draw candidates from the good
+    model and keep the one maximizing the good/bad density ratio. The
+    first `n_startup` trials fall back to random (hook returns None)."""
+
+    def __init__(self, direction: str = "maximize", n_startup: int = 10,
+                 gamma: float = 0.25, n_candidates: int = 24):
+        self.direction = direction
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.trials: List[Dict[str, Any]] = []  # bound by Study
+
+    def _split(self, name):
+        hist = [(t["params"][name], t["value"]) for t in self.trials
+                if name in t.get("params", {})
+                and np.isfinite(t.get("value", float("nan")))]
+        if len(hist) < self.n_startup:
+            return None, None
+        hist.sort(key=lambda kv: kv[1], reverse=self.direction == "maximize")
+        n_good = max(2, int(math.ceil(self.gamma * len(hist))))
+        if len(hist) - n_good < 2:
+            return None, None
+        good = [h[0] for h in hist[:n_good]]
+        bad = [h[0] for h in hist[n_good:]]
+        return good, bad
+
+    @staticmethod
+    def _log_kde(x, centers, bw):
+        d = (x[:, None] - centers[None, :]) / bw
+        return (np.log(np.mean(np.exp(-0.5 * d * d), axis=1) + 1e-300)
+                - math.log(bw))
+
+    def propose(self, name, kind, meta, rng):
+        good, bad = self._split(name)
+        if good is None:
+            return None
+        if kind == "categorical":
+            choices = meta["choices"]
+
+            def weights(vals):
+                c = np.array([sum(1 for v in vals if v == ch)
+                              for ch in choices], float) + 1.0
+                return c / c.sum()
+
+            wg, wb = weights(good), weights(bad)
+            cand = rng.choice(len(choices), size=self.n_candidates, p=wg)
+            best = cand[int(np.argmax((wg / wb)[cand]))]
+            return choices[int(best)]
+
+        low, high, log = meta["low"], meta["high"], meta.get("log", False)
+        xform = (lambda v: math.log(v)) if log else (lambda v: float(v))
+        lo, hi = xform(low), xform(high)
+        g = np.array([xform(v) for v in good])
+        b = np.array([xform(v) for v in bad])
+
+        def bw(data):
+            s = float(np.std(data))
+            return max(s * len(data) ** -0.2, (hi - lo) / 100.0, 1e-12)
+
+        bw_g, bw_b = bw(g), bw(b)
+        centers = g[rng.integers(len(g), size=self.n_candidates)]
+        cand = np.clip(centers + rng.normal(size=self.n_candidates) * bw_g,
+                       lo, hi)
+        score = self._log_kde(cand, g, bw_g) - self._log_kde(cand, b, bw_b)
+        x = float(cand[int(np.argmax(score))])
+        return math.exp(x) if log else x
+
+
 class Study:
     """Random/grid search with a resumable JSON state file."""
 
@@ -145,9 +239,15 @@ class Study:
         self.seed = seed
         self.grid = (_grid_points(grid_search_space)
                      if sampler == "grid" and grid_search_space else None)
+        # like the reference, any sampler name other than grid/random means
+        # TPE (reference: train_config.py:255-262)
+        self.tpe = (TPESampler(direction=direction)
+                    if sampler not in ("grid", "random") else None)
         self.trials: List[Dict[str, Any]] = []
         if self.path.exists():
             self.trials = json.loads(self.path.read_text())["trials"]
+        if self.tpe is not None:
+            self.tpe.trials = self.trials
 
     def _save(self):
         self.path.parent.mkdir(parents=True, exist_ok=True)
@@ -159,7 +259,9 @@ class Study:
         for t in range(start, n_trials):
             rng = np.random.default_rng([self.seed, t])
             fixed = self.grid[t % len(self.grid)] if self.grid else None
-            trial = Trial(rng, fixed, study=self)
+            trial = Trial(rng, fixed, study=self,
+                          sampler_hook=(self.tpe.propose if self.tpe
+                                        else None))
             pruned = False
             try:
                 value = objective(trial)

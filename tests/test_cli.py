@@ -159,3 +159,46 @@ def test_train_cli_main(tmp_path, monkeypatch):
     train_cli.main()
     assert (root / "tensorboard" / "cli_run" / "test_results.json").exists()
     assert (root / "tensorboard" / "cli_run" / "hyperparams.json").exists()
+
+
+def test_tpe_sampler_concentrates_and_matches_random_or_better(tmp_path):
+    """sampler='tpe' (the reference's optuna default,
+    train_config.py:255-262): after the random startup phase, proposals
+    concentrate near the optimum, and the categorical ratio picks the
+    winning arm."""
+    import numpy as np
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        return -((x - 0.7) ** 2)
+
+    tpe = Study(tmp_path / "tpe.json", direction="maximize", sampler="tpe",
+                seed=1)
+    tpe.optimize(objective, 40)
+    xs = np.array([t["params"]["x"] for t in tpe.trials])
+    # startup (first 10) is random; the last 20 should be much closer to 0.7
+    assert np.mean(np.abs(xs[-20:] - 0.7)) < np.mean(np.abs(xs[:10] - 0.7))
+
+    # categorical arm selection, unconfounded
+    def cat_objective(trial):
+        return {"a": 0.0, "b": 1.0, "c": 0.2}[
+            trial.suggest_categorical("c", ["a", "b", "c"])]
+
+    cat = Study(tmp_path / "cat.json", direction="maximize", sampler="tpe",
+                seed=2)
+    cat.optimize(cat_objective, 40)
+    cs = [t["params"]["c"] for t in cat.trials]
+    assert sum(c == "b" for c in cs[-20:]) > 10
+
+    rand = Study(tmp_path / "rand.json", direction="maximize",
+                 sampler="random", seed=1)
+    rand.optimize(objective, 40)
+    assert tpe.best_trial["value"] >= rand.best_trial["value"] - 1e-2
+
+    # resume keeps the TPE history (same file -> continues concentrated)
+    tpe2 = Study(tmp_path / "tpe.json", direction="maximize", sampler="tpe",
+                 seed=1)
+    tpe2.optimize(objective, 45)
+    assert len(tpe2.trials) == 45
+    tail = np.array([t["params"]["x"] for t in tpe2.trials[-5:]])
+    assert np.mean(np.abs(tail - 0.7)) < 0.2
