@@ -202,3 +202,15 @@ def test_tpe_sampler_concentrates_and_matches_random_or_better(tmp_path):
     assert len(tpe2.trials) == 45
     tail = np.array([t["params"]["x"] for t in tpe2.trials[-5:]])
     assert np.mean(np.abs(tail - 0.7)) < 0.2
+
+
+def test_graphsaint_embedding_path(tmp_path):
+    """embedding_type='graphsaint' resolves the reference's
+    graphsaint_gcn_embeddings.pth filename (reference:
+    train_config.py:226-231)."""
+    rc = RunConfig(project_root=str(tmp_path), task="t")
+    assert rc.embedding_path("graphsaint").name == "graphsaint_gcn_embeddings.pth"
+    assert rc.embedding_path("graphsaint_gcn").name == "graphsaint_gcn_embeddings.pth"
+    assert rc.embedding_path("gin").name == "gin_embeddings.pth"
+    with pytest.raises(NotImplementedError):
+        rc.embedding_path("word2vec")
