@@ -28,6 +28,9 @@ def main():
     ap.add_argument("-n_subgraph_nodes", type=int, default=20)
     ap.add_argument("-trials", type=int, default=15)
     ap.add_argument("-seeds", type=int, default=5)
+    ap.add_argument("-sampler", default="random",
+                    help="random | grid | tpe (anything else = tpe, like "
+                         "the reference's optuna default)")
     ap.add_argument("-max_epochs", type=int, default=120)
     ap.add_argument("-project_root", default="data")
     args = ap.parse_args()
@@ -50,7 +53,7 @@ def main():
         "tb": {"dir": "tb", "name": f"{args.task}_hpo"},
         "optuna": {"opt_n_trials": args.trials,
                    "monitor_metric": "val_micro_f1",
-                   "opt_direction": "maximize", "sampler": "random",
+                   "opt_direction": "maximize", "sampler": args.sampler,
                    "pruning": True},
         "hyperparams_fix": {
             "max_epochs": args.max_epochs, "use_neighborhood": True,
