@@ -161,7 +161,9 @@ def _segment_matmul_pallas(g_pad, plan: GatherPlan, out_dtype):
 
     def kernel(block_ref, local_ref, g_ref, out_ref):
         t = pl.program_id(0)
-        local = local_ref[0, :]                             # (W,)
+        # local stays VMEM-resident in full (constant index_map); a (1, W)
+        # tile block would violate the (8, 128)-divisible sublane rule
+        local = local_ref[t, :]                             # (W,)
         onehot = (local[:, None]
                   == jax.lax.broadcasted_iota(
                       jnp.int32, (W, TABLE_BLOCK), 1)).astype(g_ref.dtype)
@@ -184,7 +186,7 @@ def _segment_matmul_pallas(g_pad, plan: GatherPlan, out_dtype):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda t, blk: (t, 0)),
+            pl.BlockSpec((n_tiles, W), lambda t, blk: (0, 0)),
             pl.BlockSpec((1, W, D), lambda t, blk: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TABLE_BLOCK, D),
