@@ -38,17 +38,80 @@ def make_device_mesh(n_data: Optional[int] = None, n_node: int = 1,
     return Mesh(arr, ("data", "node"))
 
 
+def mesh_from_hparams(hp, devices=None) -> Optional[Mesh]:
+    """Build the training mesh the HParams ask for (mesh_data_axis x
+    mesh_node_axis), or None for the single-device path. This is how the
+    production Trainer goes multi-chip — set the two knobs in the run
+    config / hyperparams.json and everything else follows."""
+    n_data = int(getattr(hp, "mesh_data_axis", 1) or 1)
+    n_node = int(getattr(hp, "mesh_node_axis", 1) or 1)
+    if n_data * n_node <= 1:
+        return None
+    avail = len(devices if devices is not None else jax.devices())
+    if n_data * n_node > avail:
+        raise ValueError(
+            f"mesh_data_axis*mesh_node_axis = {n_data}*{n_node} exceeds the "
+            f"{avail} visible devices")
+    return make_device_mesh(n_data=n_data, n_node=n_node, devices=devices)
+
+
+# batch keys that are NOT batch-major: compact anchor-column similarity
+# tensors (train/sims.py) are layer-major (L, B, C, A)
+_COMPACT_SIM_KEYS = ("neigh_sims", "pos_in_sims", "pos_out_sims")
+
+
+def _replicate_like(tree):
+    """A pspec pytree of P() with the same structure as `tree` (GatherPlans
+    and other registered pytrees keep their treedef, incl. aux data)."""
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
 def batch_pspecs(batch: Dict[str, Any]) -> Dict[str, Any]:
     """PartitionSpecs for one batch dict: leading axis over 'data'; the
-    NP similarity tensor additionally shards its node axis over 'node'."""
+    NP similarity tensor additionally shards its node axis over 'node';
+    compact anchor-column sims (layer-major) shard their B axis; gather
+    plans (host-built tile routing, train/plans.py) replicate."""
     specs: Dict[str, Any] = {}
     for k, v in batch.items():
         if v is None:
             specs[k] = None
         elif k == "NP_sim":
             specs[k] = P("data", None, "node")
+        elif k in _COMPACT_SIM_KEYS:
+            specs[k] = P(None, "data")
+        elif k.endswith("_plan"):
+            specs[k] = _replicate_like(v)
         else:
             specs[k] = P("data")
+    return specs
+
+
+def split_pspecs(split_arrays: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpecs for a device-resident WHOLE split (fused-epoch mode):
+    everything replicated except the (n_sub, C, n_nodes) NP similarity
+    tensor, whose node axis shards over 'node' (it is the memory wall)."""
+    specs: Dict[str, Any] = {}
+    for k, v in split_arrays.items():
+        if v is None:
+            specs[k] = None
+        elif k == "NP_sim":
+            specs[k] = P(None, None, "node")
+        else:
+            specs[k] = P()
+    return specs
+
+
+def epoch_extras_pspecs(extras: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpecs for per-epoch stacked extras fed to the fused
+    lax.scan: compact sims are (n_batches, L, B, C, A) -> shard B over
+    'data'; stacked GatherPlans replicate (their tile routing indexes the
+    whole batch's flat gradient rows)."""
+    specs: Dict[str, Any] = {}
+    for k, v in extras.items():
+        if k in _COMPACT_SIM_KEYS:
+            specs[k] = P(None, None, "data")
+        else:
+            specs[k] = _replicate_like(v)
     return specs
 
 

@@ -21,6 +21,7 @@ import optax
 
 from ..config import HParams
 from ..models.subgnn import SubGNNModel
+from ..parallel import mesh as MX
 from . import metrics as M
 from . import plans as P
 from . import sims as S
@@ -67,9 +68,13 @@ class Trainer:
                  ckpt_dir: Optional[str] = None,
                  monitor: str = "val_micro_f1", checkpoint_k: int = 3,
                  eval_cc_tables: Optional[Dict[str, Any]] = None,
-                 tb_dir: Optional[str] = None):
+                 tb_dir: Optional[str] = None, mesh=None):
         self.model = model
         self.hp = hp
+        # multi-chip: mesh comes in explicitly or from the
+        # mesh_data_axis/mesh_node_axis hyperparameters; every data/param
+        # placement below then goes through _place() with named shardings
+        self.mesh = mesh if mesh is not None else MX.mesh_from_hparams(hp)
         self.monitor = monitor
         self.ckpt = (TopKCheckpoints(ckpt_dir, checkpoint_k, monitor)
                      if ckpt_dir else None)
@@ -121,6 +126,44 @@ class Trainer:
 
         self._train_step = jax.jit(train_step)
         self._eval_step = jax.jit(eval_step, static_argnames=())
+
+    # ---------------------------------------------------------------- mesh
+
+    def _place(self, tree, pspecs=None):
+        """Put a pytree on the mesh with the given PartitionSpecs
+        (replicated when pspecs is None); identity without a mesh."""
+        if self.mesh is None:
+            return tree
+        if pspecs is None:
+            pspecs = jax.tree_util.tree_map(
+                lambda _: MX.P(), tree, is_leaf=lambda x: x is None)
+        return MX.shard_tree(self.mesh, tree, pspecs)
+
+    def _shard_params_opt(self):
+        """Shard params by param_pspecs, then re-place the existing
+        optimizer state (fresh or checkpoint-resumed) with the shardings a
+        mesh-native tx.init produces (zeros_like under jit inherits the
+        param shardings)."""
+        if self.mesh is None:
+            return
+        self.params = MX.shard_tree(self.mesh, self.params,
+                                    MX.param_pspecs(self.params))
+        # eager init: zeros_like inherits each param's NamedSharding (a
+        # jitted init would NOT — constants have no data dependence on the
+        # input, so GSPMD leaves them single-device); scalars (step counts)
+        # replicate explicitly
+        fresh = self.tx.init(self.params)
+        replicated = MX.NamedSharding(self.mesh, MX.P())
+
+        def place(f, o):
+            if o is None:
+                return None
+            sh = (f.sharding if isinstance(f.sharding, MX.NamedSharding)
+                  else replicated)
+            return jax.device_put(jnp.asarray(o), sh)
+
+        self.opt_state = jax.tree_util.tree_map(
+            place, fresh, self.opt_state, is_leaf=lambda x: x is None)
 
     # ------------------------------------------------------- fused epochs
 
@@ -252,6 +295,8 @@ class Trainer:
                                for k, v in S.compact_sims_for_batch(
                                    data.NP_sim, anchors, hp,
                                    batch["subgraph_idx"]).items()})
+            if self.mesh is not None:
+                jbatch = self._place(jbatch, MX.batch_pspecs(jbatch))
             loss, logits = self._eval_step(self.params, self.state, jbatch,
                                            anchors, cc_tables)
             logits = np.asarray(logits)[valid]
@@ -314,6 +359,18 @@ class Trainer:
                     jnp.asarray, r["opt_state"],
                     is_leaf=lambda x: x is None)
             self._resume = None
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            n_node = self.mesh.shape["node"]
+            assert hp.batch_size % n_data == 0, (
+                f"batch_size {hp.batch_size} must divide over the 'data' "
+                f"mesh axis ({n_data})")
+            rows = int(self.params["node_embed"].shape[0])
+            assert rows % n_node == 0, (rows, n_node)
+            anchors_by_split = {s: self._place(a)
+                                for s, a in anchors_by_split.items()}
+            self.eval_cc_tables = self._place(self.eval_cc_tables)
+        self._shard_params_opt()
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         self._build_steps(anchors_by_split)
@@ -349,20 +406,29 @@ class Trainer:
                                               include_np_sim=not compact)
             val_arrays = self._device_split(val_data,
                                             include_np_sim=not compact)
+            if self.mesh is not None:
+                train_arrays = self._place(train_arrays,
+                                           MX.split_pspecs(train_arrays))
+                val_arrays = self._place(val_arrays,
+                                         MX.split_pspecs(val_arrays))
             self._build_fused(train_arrays, val_arrays, anchors_by_split,
                               base_rng)
             n_val = len(val_data)
             nb_val = -(-n_val // hp.batch_size)
             val_idx = np.arange(nb_val * hp.batch_size) % n_val
             val_order_np = val_idx.reshape(nb_val, hp.batch_size).astype(np.int32)
-            val_order = jnp.asarray(val_order_np)
-            val_valid = jnp.asarray(
+            order_spec = MX.P(None, "data")
+            val_order = self._place(jnp.asarray(val_order_np), order_spec)
+            val_valid = self._place(jnp.asarray(
                 (np.arange(nb_val * hp.batch_size) < n_val)
-                .reshape(nb_val, hp.batch_size))
+                .reshape(nb_val, hp.batch_size)), order_spec)
             val_extras = (S.epoch_compact_sims(val_data.NP_sim,
                                                anchors_by_split["val"], hp,
                                                val_order_np)
                           if compact else {})
+            if self.mesh is not None and val_extras:
+                val_extras = self._place(val_extras,
+                                         MX.epoch_extras_pspecs(val_extras))
             val_cc_tables = None
             if hp.trainable_cc:
                 val_cc_tables = self.eval_cc_tables.get("val")
@@ -381,10 +447,16 @@ class Trainer:
                     extras.update(S.epoch_compact_sims(
                         train_data.NP_sim, anchors_by_split["train"], hp,
                         order))
+                order_dev = jnp.asarray(order)
+                if self.mesh is not None:
+                    order_dev = self._place(order_dev, MX.P(None, "data"))
+                    if extras:
+                        extras = self._place(
+                            extras, MX.epoch_extras_pspecs(extras))
                 (self.params, self.opt_state, self.state,
                  losses) = self._fused_train_epoch(
                      self.params, self.opt_state, self.state,
-                     jnp.asarray(order), jnp.int32(self.global_step), extras)
+                     order_dev, jnp.int32(self.global_step), extras)
                 self.global_step += order.shape[0]
                 train_losses = list(np.asarray(losses, np.float64))
             else:
@@ -404,6 +476,8 @@ class Trainer:
                                 train_data.NP_sim,
                                 anchors_by_split["train"], hp,
                                 batch["subgraph_idx"]).items()})
+                    if self.mesh is not None:
+                        jbatch = self._place(jbatch, MX.batch_pspecs(jbatch))
                     rng = jax.random.fold_in(base_rng, self.global_step)
                     (self.params, self.opt_state, self.state, loss,
                      _, gnorm) = self._train_step(self.params, self.opt_state,

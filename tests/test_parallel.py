@@ -73,6 +73,65 @@ def test_sharded_forward_matches_single_device():
                                np.asarray(sharded_logits), atol=1e-4)
 
 
+def test_sharded_trainer_fit_matches_single_device():
+    """The PRODUCTION Trainer on a (data=4, node=2) mesh must reproduce the
+    single-device training trajectory (fused-epoch scan + GatherPlans +
+    compact sims + trainable CC tables all engaged)."""
+    import __graft_entry__ as ge
+    from subgnn_tpu.train.loop import Trainer
+
+    def run(mesh_axes):
+        model, hp, params, state, data, anchors, eval_cc = \
+            ge._build_training_fixture(
+                n_train=16, n_val=8,
+                hp_overrides=dict(batch_size=8, max_epochs=3,
+                                  trainable_cc=True, **mesh_axes))
+        tr = Trainer(model, hp, eval_cc_tables=eval_cc)
+        tr.compact_sims = True
+        tr.fit(params, state, data["train"], data["val"], anchors,
+               seed=0, log_fn=None)
+        assert hasattr(tr, "_fused_train_epoch")
+        return tr
+
+    t_local = run({})
+    t_mesh = run(dict(mesh_data_axis=4, mesh_node_axis=2))
+    assert t_mesh.mesh is not None and t_local.mesh is None
+    for m1, m2 in zip(t_local.metric_scores, t_mesh.metric_scores):
+        np.testing.assert_allclose(m1["train_loss"], m2["train_loss"],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(m1["val_loss"], m2["val_loss"],
+                                   rtol=2e-4, atol=1e-5)
+        assert m1["val_micro_f1"] == pytest.approx(m2["val_micro_f1"])
+
+
+def test_sharded_trainer_streaming_matches_single_device():
+    """Same trajectory check for the per-step streaming path (fused mode
+    off via a short-batch train split: batch_size > n_train disables
+    drop_last)."""
+    import __graft_entry__ as ge
+    from subgnn_tpu.train.loop import Trainer
+
+    def run(mesh_axes):
+        model, hp, params, state, data, anchors, eval_cc = \
+            ge._build_training_fixture(
+                n_train=12, n_val=8,
+                hp_overrides=dict(batch_size=16, max_epochs=2, **mesh_axes))
+        tr = Trainer(model, hp)
+        tr.compact_sims = False
+        tr.fit(params, state, data["train"], data["val"], anchors,
+               seed=0, log_fn=None)
+        assert not hasattr(tr, "_fused_train_epoch")
+        return tr
+
+    t_local = run({})
+    t_mesh = run(dict(mesh_data_axis=8, mesh_node_axis=1))
+    for m1, m2 in zip(t_local.metric_scores, t_mesh.metric_scores):
+        np.testing.assert_allclose(m1["train_loss"], m2["train_loss"],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(m1["val_loss"], m2["val_loss"],
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_dtw_shards_over_mesh():
     """Distributed precompute: the batched DTW kernel data-parallelizes over
     the mesh's pair axis (each device computes its shard; results identical
