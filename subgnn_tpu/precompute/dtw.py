@@ -79,12 +79,15 @@ def dtw_distance_batch(a: jnp.ndarray, la: jnp.ndarray,
 
 def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
                           anchor_seqs: np.ndarray, anchor_lens: np.ndarray,
-                          chunk: int = 8192) -> np.ndarray:
+                          chunk: int = 8192, mesh=None) -> np.ndarray:
     """(n_comp, n_anchor) float32 of 1/(DTW+1) similarities.
 
     Forms all pairs, runs the batched device kernel in chunks to bound
     memory. Replaces the reference's multiprocessing starmap over fastdtw
-    (SubGNN/SubGNN.py:811-822).
+    (SubGNN/SubGNN.py:811-822). With a mesh, each chunk's pair axis is
+    sharded over every mesh device (pure data parallelism: the pairs are
+    independent, so the kernel runs 1/n-sized on each device with no
+    collectives; results are identical to single-device).
     """
     nc, Lc = comp_seqs.shape
     na, La = anchor_seqs.shape
@@ -99,6 +102,17 @@ def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
         from ..ops.dtw_pallas import dtw_distance_pallas
         kernel = dtw_distance_pallas
 
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        chunk = -(-chunk // n_dev) * n_dev  # divisible by the device count
+        sharding = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
     for s in range(0, nc * na, chunk):
         e = min(s + chunk, nc * na)
         idx_c, idx_a = ci[s:e], ai[s:e]
@@ -108,8 +122,8 @@ def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
             idx_c = np.concatenate([idx_c, np.zeros(pad, np.int64)])
             idx_a = np.concatenate([idx_a, np.zeros(pad, np.int64)])
         d = kernel(
-            jnp.asarray(comp_seqs[idx_c]), jnp.asarray(comp_lens[idx_c]),
-            jnp.asarray(anchor_seqs[idx_a]), jnp.asarray(anchor_lens[idx_a]))
+            put(comp_seqs[idx_c]), put(comp_lens[idx_c]),
+            put(anchor_seqs[idx_a]), put(anchor_lens[idx_a]))
         out[s:e] = np.asarray(d)[: e - s]
     return (1.0 / (out + 1.0)).reshape(nc, na)
 

@@ -55,12 +55,16 @@ def _bfs_from_sources_host(graph: CSRGraph, sources: np.ndarray) -> np.ndarray:
     return out
 
 
-def _bfs_device(graph: CSRGraph, chunk: int = 256) -> np.ndarray:
+def _bfs_device(graph: CSRGraph, chunk: int = 256, mesh=None) -> np.ndarray:
     """Dense-adjacency BFS on the default JAX device.
 
     dist[k] is written when a node first enters the frontier at step k; the
     loop runs until every frontier is empty (lax.while_loop, no host sync
-    per level).
+    per level). With a mesh the BFS-source axis of each chunk shards over
+    every device (independent sources — the masked SpMV runs 1/n-tall per
+    device against the replicated adjacency; this is the distributed-BFS
+    deliverable of SURVEY §2.3 in its TPU-natural form: partition sources,
+    not the frontier of one source).
     """
     import jax
     import jax.numpy as jnp
@@ -71,6 +75,15 @@ def _bfs_device(graph: CSRGraph, chunk: int = 256) -> np.ndarray:
     for v in range(1, n + 1):
         adj[v - 1, graph.neighbors(v) - 1] = True
     adj = jnp.asarray(adj)
+
+    src_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        chunk = -(-chunk // n_dev) * n_dev
+        src_sharding = NamedSharding(
+            mesh, PartitionSpec(tuple(mesh.axis_names)))
+        adj = jax.device_put(adj, NamedSharding(mesh, PartitionSpec()))
 
     @jax.jit
     def bfs_chunk(src_onehot):
@@ -92,26 +105,35 @@ def _bfs_device(graph: CSRGraph, chunk: int = 256) -> np.ndarray:
         _, _, dist, _ = jax.lax.while_loop(cond, body, (frontier, visited, dist, jnp.int32(0)))
         return dist
 
+    def put(rows):
+        rows = jnp.asarray(rows)
+        return (jax.device_put(rows, src_sharding)
+                if src_sharding is not None else rows)
+
     out = np.zeros((n, n), dtype=np.int32)
     eye = np.eye(n, dtype=bool)
     for start in range(0, n, chunk):
         rows = eye[start:start + chunk]
         if rows.shape[0] < chunk:  # pad to static shape
             pad = np.zeros((chunk - rows.shape[0], n), dtype=bool)
-            res = np.asarray(bfs_chunk(jnp.asarray(np.concatenate([rows, pad]))))
+            res = np.asarray(bfs_chunk(put(np.concatenate([rows, pad]))))
             out[start:start + rows.shape[0]] = res[: rows.shape[0]]
         else:
-            out[start:start + chunk] = np.asarray(bfs_chunk(jnp.asarray(rows)))
+            out[start:start + chunk] = np.asarray(bfs_chunk(put(rows)))
     return out
 
 
-def shortest_path_matrix(graph: CSRGraph, backend: str = "auto") -> np.ndarray:
+def shortest_path_matrix(graph: CSRGraph, backend: str = "auto",
+                         mesh=None) -> np.ndarray:
     """Dense (n, n) all-pairs hop-distance matrix over RAW 0-based ids.
 
     backend: 'host' | 'device' | 'auto' (device for n <= 4096).
+    A mesh forces the device backend with the source axis sharded.
     """
     n = graph.n_nodes
     from ..ops import native
+    if mesh is not None:
+        return _bfs_device(graph, mesh=mesh)
     if backend == "auto":
         # the multithreaded C++ host kernel beats the dense device SpMV for
         # every shipped graph size (and avoids remote-device round trips);

@@ -19,7 +19,8 @@ PAD_VALUE = 0
 
 
 def compute_shortest_path_similarities(shortest_paths: np.ndarray,
-                                       cc_ids: np.ndarray) -> np.ndarray:
+                                       cc_ids: np.ndarray,
+                                       mesh=None) -> np.ndarray:
     """(n_subgraphs, max_n_cc, n_nodes) float32: hop distance from each CC to
     every node = min over the CC's rows of the all-pairs matrix.
 
@@ -29,9 +30,18 @@ def compute_shortest_path_similarities(shortest_paths: np.ndarray,
       * node-id columns are 1-based model ids mapped to 0-based matrix rows,
       * padded CCs are filled with PAD_VALUE (0), which is also a legal
         distance value (quirk preserved).
+
+    With a mesh the reduction runs on device: the all-pairs matrix is
+    resident once with its column axis sharded over every mesh device and
+    the min-over-CC-rows accumulates as a scan over the CC length, so each
+    device only ever touches its 1/n column shard (this is the
+    n_nodes-axis analog of the model-side NP-sim sharding).
     """
     n_sub, max_n_cc, _ = cc_ids.shape
     n_nodes = shortest_paths.shape[0]
+    if mesh is not None:
+        return _shortest_path_similarities_device(shortest_paths, cc_ids,
+                                                  mesh)
     sims = np.full((n_sub, max_n_cc, n_nodes), float(PAD_VALUE), dtype=np.float32)
     for s in range(n_sub):
         for c in range(max_n_cc):
@@ -42,14 +52,70 @@ def compute_shortest_path_similarities(shortest_paths: np.ndarray,
     return sims
 
 
+def _shortest_path_similarities_device(shortest_paths: np.ndarray,
+                                       cc_ids: np.ndarray, mesh,
+                                       chunk: int = 512) -> np.ndarray:
+    """Mesh-sharded CC-min reduction (see compute_shortest_path_similarities).
+
+    The (n, n) matrix stays device-resident across chunks sharded
+    P(None, devices) on columns; per chunk of subgraphs a lax.scan over the
+    CC length gathers one row per (subgraph, cc) and min-accumulates, so
+    peak per-device memory is the matrix shard + one (chunk, C, n/n_dev)
+    accumulator.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_sub, max_n_cc, L = cc_ids.shape
+    n_nodes = shortest_paths.shape[0]
+    axes = tuple(mesh.axis_names)
+    col_sharding = NamedSharding(mesh, P(None, axes))
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    pad_cols = (-n_nodes) % n_dev
+    sp = np.asarray(shortest_paths, np.float32)
+    if pad_cols:
+        sp = np.concatenate(
+            [sp, np.zeros((n_nodes, pad_cols), np.float32)], axis=1)
+    sp_dev = jax.device_put(jnp.asarray(sp), col_sharding)
+
+    @jax.jit
+    def reduce_chunk(sp_dev, ids):
+        # ids: (B, C, L) 1-based, PAD=0
+        def body(acc, l):
+            col = ids[:, :, l]                             # (B, C)
+            rows = sp_dev[jnp.clip(col - 1, 0, n_nodes - 1)]  # (B, C, n)
+            rows = jnp.where((col != PAD_VALUE)[:, :, None], rows, jnp.inf)
+            return jnp.minimum(acc, rows), None
+
+        acc0 = jnp.full((ids.shape[0], max_n_cc, sp_dev.shape[1]), jnp.inf,
+                        jnp.float32)
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(L))
+        # empty CCs -> PAD fill (quirk preserved)
+        return jnp.where(jnp.isinf(acc), float(PAD_VALUE), acc)
+
+    out = np.empty((n_sub, max_n_cc, n_nodes), np.float32)
+    for s in range(0, n_sub, chunk):
+        e = min(s + chunk, n_sub)
+        ids = cc_ids[s:e]
+        if e - s < chunk:  # pad to the compiled shape
+            ids = np.concatenate(
+                [ids, np.zeros((chunk - (e - s), max_n_cc, L),
+                               cc_ids.dtype)], axis=0)
+        res = np.asarray(reduce_chunk(sp_dev, jnp.asarray(ids)))
+        out[s:e] = res[: e - s, :, :n_nodes]
+    return out
+
+
 def compute_structure_similarities(graph: CSRGraph, cc_ids: np.ndarray,
                                    structure_anchors: np.ndarray,
-                                   internal: bool) -> np.ndarray:
+                                   internal: bool, mesh=None) -> np.ndarray:
     """(n_subgraphs, max_n_cc, n_anchors) float32 DTW similarities between
     every CC and every pre-sampled structure anchor patch.
 
     Reference: SubGNN/SubGNN.py:783-833 (degree sequences via gamma.py, DTW
-    via fastdtw + process pool). Here: batched exact DTW on device.
+    via fastdtw + process pool). Here: batched exact DTW on device; with a
+    mesh the (CC x anchor) pair axis data-parallelizes over every device.
     Padded CCs are overwritten with PAD_VALUE (SubGNN.py:831).
     """
     n_sub, max_n_cc, L = cc_ids.shape
@@ -57,7 +123,8 @@ def compute_structure_similarities(graph: CSRGraph, cc_ids: np.ndarray,
     comp_seqs, comp_lens = degree_sequences(graph, comp_flat, internal=internal)
     anchor_seqs, anchor_lens = degree_sequences(graph, structure_anchors,
                                                 internal=internal)
-    sims = dtw_similarity_matrix(comp_seqs, comp_lens, anchor_seqs, anchor_lens)
+    sims = dtw_similarity_matrix(comp_seqs, comp_lens, anchor_seqs,
+                                 anchor_lens, mesh=mesh)
     sims = sims.reshape(n_sub, max_n_cc, -1).astype(np.float32)
     cc_mask = cc_ids[:, :, 0] != PAD_VALUE
     sims[~cc_mask] = PAD_VALUE

@@ -116,10 +116,12 @@ class SubGNNPipeline:
 
     # ------------------------------------------------------------ precompute
 
-    def precompute(self):
+    def precompute(self, mesh=None):
         """Border sets, N/P shortest-path sims, S patches/walks/DTW sims —
         all cached under <task>/similarities with reference-compatible
-        filenames (reference: SubGNN.py:673-989)."""
+        filenames (reference: SubGNN.py:673-989). With a mesh the two
+        device stages (NP-sim CC-min reduction and the DTW pair matrix)
+        data-parallelize over every mesh device."""
         assert self._loaded
         import time as _time
         rc, hp = self.rc, self.hp
@@ -167,7 +169,7 @@ class SubGNNPipeline:
                 self.np_sim[s] = np.asarray(cached(
                     np_sim_path(sim_dir, s),
                     lambda s=s: compute_shortest_path_similarities(
-                        _shortest(), self.cc_ids[s]),
+                        _shortest(), self.cc_ids[s], mesh=mesh),
                     recompute), dtype=np.float32)
         _stage("NP similarities")
 
@@ -203,13 +205,13 @@ class SubGNNPipeline:
                     struc_sim_path(sim_dir, hp, True, s),
                     lambda s=s: compute_structure_similarities(
                         self.graph, self.cc_ids[s], self.structure_anchors,
-                        internal=True),
+                        internal=True, mesh=mesh),
                     recompute).astype(np.float32)
                 self.bor_s_sim[s] = cached(
                     struc_sim_path(sim_dir, hp, False, s),
                     lambda s=s: compute_structure_similarities(
                         self.graph, self.cc_ids[s], self.structure_anchors,
-                        internal=False),
+                        internal=False, mesh=mesh),
                     recompute).astype(np.float32)
             _stage("structure DTW similarities")
         return self
@@ -304,8 +306,10 @@ class SubGNNPipeline:
         (hyperparams.json, final_metric_scores.json, test_results.json)."""
         hp = self.hp
         seed = hp.seed if seed is None else seed
+        from ..parallel.mesh import mesh_from_hparams
+        mesh = mesh_from_hparams(hp)
         self.load()
-        self.precompute()
+        self.precompute(mesh=mesh)
         anchors = self.sample_anchors(seed)
         model, params, state, eval_cc = self.build_model(seed)
         if restore_path:
@@ -315,7 +319,7 @@ class SubGNNPipeline:
         tb_dir = self.results_dir / "tb" if self.results_dir else None
         trainer = Trainer(model, hp, ckpt_dir=ckpt_dir,
                           monitor=self.rc.monitor_metric,
-                          eval_cc_tables=eval_cc, tb_dir=tb_dir)
+                          eval_cc_tables=eval_cc, tb_dir=tb_dir, mesh=mesh)
         if self.results_dir:
             dump_json(self.results_dir / "hyperparams.json", hp.to_dict())
 

@@ -132,6 +132,101 @@ def test_sharded_trainer_streaming_matches_single_device():
                                    rtol=2e-4, atol=1e-5)
 
 
+def _random_csr(rng, n=96, m=300):
+    from subgnn_tpu.data.graph import CSRGraph
+    edges = rng.integers(1, n + 1, (m, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    return CSRGraph.from_edges(edges, n_nodes=n)
+
+
+def test_precompute_np_sims_mesh_matches_host():
+    """The mesh-sharded NP-sim CC-min reduction reproduces the host loop
+    exactly (column axis sharded over all 8 devices; n_nodes not divisible
+    by the device count to exercise the pad path)."""
+    from subgnn_tpu.precompute.similarities import (
+        compute_shortest_path_similarities)
+
+    rng = np.random.default_rng(1)
+    n_nodes, n_sub, C, L = 77, 11, 3, 5
+    sp = rng.integers(0, 9, (n_nodes, n_nodes)).astype(np.float32)
+    cc_ids = rng.integers(0, n_nodes + 1, (n_sub, C, L)).astype(np.int32)
+    cc_ids[:, :, 0] = rng.integers(1, n_nodes + 1, (n_sub, C))  # row 0 real
+    cc_ids[2, 1:] = 0  # an empty CC -> PAD fill
+    host = compute_shortest_path_similarities(sp, cc_ids)
+    mesh = make_device_mesh(n_data=4, n_node=2)
+    dev = compute_shortest_path_similarities(sp, cc_ids, mesh=mesh)
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_precompute_structure_sims_mesh_matches_host():
+    from subgnn_tpu.precompute.similarities import (
+        compute_structure_similarities)
+
+    rng = np.random.default_rng(2)
+    g = _random_csr(rng)
+    cc_ids = rng.integers(0, g.n_nodes + 1, (6, 2, 4)).astype(np.int32)
+    cc_ids[:, 0, 0] = rng.integers(1, g.n_nodes + 1, 6)
+    anchors = rng.integers(1, g.n_nodes + 1, (9, 5)).astype(np.int32)
+    for internal in (True, False):
+        local = compute_structure_similarities(g, cc_ids, anchors, internal)
+        mesh = make_device_mesh(n_data=8, n_node=1)
+        sharded = compute_structure_similarities(g, cc_ids, anchors,
+                                                 internal, mesh=mesh)
+        np.testing.assert_allclose(local, sharded, atol=1e-6)
+
+
+def test_bfs_device_mesh_matches_host():
+    from subgnn_tpu.precompute.shortest_paths import shortest_path_matrix
+
+    rng = np.random.default_rng(3)
+    g = _random_csr(rng, n=60, m=150)
+    host = shortest_path_matrix(g, backend="host")
+    mesh = make_device_mesh(n_data=4, n_node=2)
+    dev = shortest_path_matrix(g, mesh=mesh)
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_pipeline_precompute_takes_mesh(tmp_path):
+    """runner.precompute(mesh=...) produces identical artifacts to the
+    single-device run (the artifact-equality gate for distributed
+    precompute; wall-time scaling is measured on real chips)."""
+    import json
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train.runner import SubGNNPipeline
+
+    src = "data/density"
+    import os
+    if not os.path.exists(src):
+        pytest.skip("density dataset not present")
+
+    def run_precompute(root, mesh):
+        import shutil
+        task = root / "density"
+        task.mkdir(parents=True)
+        for f in ("edge_list.txt", "subgraphs.pth", "gin_embeddings.npy",
+                  "shortest_path_matrix.npy"):
+            p = os.path.join(src, f)
+            if os.path.exists(p):
+                shutil.copy(p, task / f)
+        rc = RunConfig(task="density", project_root=root)
+        hp = HParams(max_epochs=0, max_sim_epochs=1, n_triangular_walks=2,
+                     random_walk_len=4, sample_walk_len=10)
+        pipe = SubGNNPipeline(rc, hp)
+        pipe.load()
+        pipe.precompute(mesh=mesh)
+        return pipe
+
+    p1 = run_precompute(tmp_path / "local", None)
+    p2 = run_precompute(tmp_path / "mesh", make_device_mesh(n_data=4,
+                                                            n_node=2))
+    for s in ("train", "val", "test"):
+        np.testing.assert_array_equal(p1.np_sim[s], p2.np_sim[s])
+        np.testing.assert_allclose(p1.int_s_sim[s], p2.int_s_sim[s],
+                                   atol=1e-6)
+        np.testing.assert_allclose(p1.bor_s_sim[s], p2.bor_s_sim[s],
+                                   atol=1e-6)
+
+
 def test_dtw_shards_over_mesh():
     """Distributed precompute: the batched DTW kernel data-parallelizes over
     the mesh's pair axis (each device computes its shard; results identical
