@@ -33,6 +33,11 @@ def main():
                          "the reference's optuna default)")
     ap.add_argument("-max_epochs", type=int, default=120)
     ap.add_argument("-project_root", default="data")
+    ap.add_argument("-search_channels", action="store_true",
+                    help="let the sampler choose use_neighborhood / "
+                         "use_position (structure stays on) — the paper's "
+                         "winning synthetic configs are per-channel subsets, "
+                         "e.g. S-only for cut ratio")
     args = ap.parse_args()
 
     root = Path(args.project_root)
@@ -81,6 +86,11 @@ def main():
                              "args": [[True, False]]},
         },
     }
+    if args.search_channels:
+        for key in ("use_neighborhood", "use_position"):
+            del cfg["hyperparams_fix"][key]
+            cfg["hyperparams_optuna"][key] = {
+                "type": "suggest_categorical", "args": [[True, False]]}
     cfg_path = root / f"{args.task}_hpo.json"
     cfg_path.write_text(json.dumps(cfg))
     study = run_study(str(cfg_path), project_root=str(root), log_fn=None)
