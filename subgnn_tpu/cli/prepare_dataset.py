@@ -21,7 +21,8 @@ from ..data.graph import CSRGraph
 from ..precompute.shortest_paths import (shortest_path_matrix, ego_graphs_1hop,
                                          degree_dict)
 from ..prepare.synthetic import build_synthetic_dataset
-from ..prepare.node_emb import train_node_embeddings, save_embeddings
+from ..prepare.node_emb import (train_node_embeddings, save_embeddings,
+                                greedy_hyperparam_search)
 
 
 def precompute_graph_metrics(task_dir: Path, graph: CSRGraph,
@@ -48,7 +49,8 @@ def precompute_graph_metrics(task_dir: Path, graph: CSRGraph,
 def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
             conv: str = "gin", emb_dim: int = 64, emb_epochs: int = 100,
             generate_graph: bool = True, generate_emb: bool = True,
-            log_fn=print, **gen_kwargs):
+            emb_minibatch: str = "full", emb_search: bool = False,
+            emb_plots: bool = False, log_fn=print, **gen_kwargs):
     task_dir = Path(out_dir)
     if generate_graph:
         build_synthetic_dataset(task_dir, desired_property=desired_property,
@@ -60,9 +62,19 @@ def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
     if log_fn:
         log_fn("precomputed graph metrics")
     if generate_emb:
-        emb, metrics = train_node_embeddings(graph, conv_type=conv,
-                                             out_dim=emb_dim,
-                                             epochs=emb_epochs, seed=seed)
+        if emb_search:
+            emb, metrics, best_hp = greedy_hyperparam_search(
+                graph, conv_type=conv, minibatch=emb_minibatch,
+                epochs=emb_epochs, seed=seed, log_fn=log_fn)
+            (task_dir / "node_emb_hyperparams.json").write_text(
+                json.dumps(best_hp, indent=2))
+            if log_fn:
+                log_fn(f"greedy search winner: {best_hp}")
+        else:
+            emb, metrics = train_node_embeddings(
+                graph, conv_type=conv, out_dim=emb_dim, epochs=emb_epochs,
+                seed=seed, minibatch=emb_minibatch,
+                plots_dir=task_dir / "plots" if emb_plots else None)
         save_embeddings(task_dir, emb, conv)
         if log_fn:
             log_fn(f"node embeddings: {metrics}")
@@ -82,12 +94,21 @@ def main():
                         choices=["gin", "graphsaint_gcn"])
     parser.add_argument("-emb_dim", type=int, default=64)
     parser.add_argument("-emb_epochs", type=int, default=100)
+    parser.add_argument("-emb_minibatch", type=str, default="full",
+                        choices=["full", "graphsaint"])
+    parser.add_argument("--emb_search", action="store_true",
+                        help="greedy coordinate-descent node-emb hparam "
+                             "search (reference train_node_emb.py:146-172)")
+    parser.add_argument("--emb_plots", action="store_true",
+                        help="save loss/ROC curve plots under <out>/plots")
     parser.add_argument("--skip_graph", action="store_true",
                         help="only precompute metrics + embeddings for an "
                              "existing edge_list.txt/subgraphs.pth")
     args = parser.parse_args()
     prepare(args.out, args.property, args.seed, args.conv, args.emb_dim,
             args.emb_epochs, generate_graph=not args.skip_graph,
+            emb_minibatch=args.emb_minibatch, emb_search=args.emb_search,
+            emb_plots=args.emb_plots,
             n=args.n, n_subgraphs=args.n_subgraphs,
             n_subgraph_nodes=args.n_subgraph_nodes)
 

@@ -13,22 +13,33 @@ preprocess.py:27-86, utils.py:22-59) with a jit-compiled JAX trainer:
     (train_node_emb.py:63: num_neg = pos//4),
   * edges split 80/10/10 into train/val/test scoring sets
     (preprocess.py:64-82),
-  * full-batch training (the shipped graphs are <=60k nodes; GraphSAINT
-    subsampling is unnecessary on TPU at this scale).
+  * two minibatch modes: full-batch (default; the shipped graphs are <=60k
+    nodes) and a GraphSAINT-style random-walk sampler
+    (train_node_emb.py:52-56) run ENTIRELY on device: stateless-RNG walks
+    over a padded neighbor table pick the node sample, and the induced
+    subgraph is realized as a membership mask over the full edge arrays —
+    static shapes, no host gather, same O(E) segment-sum with messages
+    outside the sample zeroed,
+  * greedy coordinate-descent hyperparameter search over the reference's
+    spaces (train_node_emb.py:146-172, config_prepare_dataset.py:46-55),
+  * optional loss-curve + ROC-curve plot artifacts (utils.py:117-192).
 
 Saves <conv>_embeddings.pth (torch tensor for reference compatibility) and
 a .npy twin.
 """
 from __future__ import annotations
 
+import functools
+import random as pyrandom
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.graph import CSRGraph
+from ..sampling.device_walks import padded_neighbor_table
 from ..train.metrics import binary_auc
 
 
@@ -48,27 +59,67 @@ def init_gnn_params(key, n_feat: int, n_hid: int, n_out: int):
             "conv2": _linear(k2, n_hid, n_out)}
 
 
-def _aggregate(x, src, dst, n_nodes, conv_type: str, deg):
-    """One round of neighbor aggregation over directed edges (src -> dst)."""
+def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None):
+    """One round of neighbor aggregation over directed edges (src -> dst).
+
+    With `member` (float (n,) 0/1 mask) the aggregation runs on the induced
+    subgraph of the member nodes embedded in full-size arrays: member
+    features only, messages along member-member edges only, GCN degrees
+    recomputed within the sample — the GraphSAINT minibatch as a mask
+    instead of a host-side node re-indexing (static shapes for XLA).
+    """
+    if member is not None:
+        x = x * member[:, None]
     if conv_type == "gin":
         nbr = jax.ops.segment_sum(x[src], dst, num_segments=n_nodes)
-        return x + nbr
-    # gcn: D^-1/2 (A + I) D^-1/2
+        out = x + nbr
+        return out if member is None else out * member[:, None]
+    # gcn: D^-1/2 (A + I) D^-1/2 (degrees within the sample when masked)
+    if member is not None:
+        deg = jax.ops.segment_sum(member[src], dst, num_segments=n_nodes)
     norm = jax.lax.rsqrt(deg + 1.0)
     msgs = (x * norm[:, None])[src]
     out = jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
-    return (out + x * norm[:, None]) * norm[:, None]
+    out = (out + x * norm[:, None]) * norm[:, None]
+    return out if member is None else out * member[:, None]
 
 
 def gnn_forward(params, x, src, dst, n_nodes, conv_type, deg, *,
-                dropout=0.0, train=False, rng=None):
-    h = _aggregate(x, src, dst, n_nodes, conv_type, deg)
+                dropout=0.0, train=False, rng=None, member=None):
+    h = _aggregate(x, src, dst, n_nodes, conv_type, deg, member)
     h = jax.nn.relu(h @ params["conv1"]["w"] + params["conv1"]["b"])
     if train and dropout > 0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
         h = jnp.where(keep, h / (1.0 - dropout), 0.0)
-    h = _aggregate(h, src, dst, n_nodes, conv_type, deg)
+    h = _aggregate(h, src, dst, n_nodes, conv_type, deg, member)
     return h @ params["conv2"]["w"] + params["conv2"]["b"]
+
+
+@functools.partial(jax.jit, static_argnames=("walk_len", "n_walks"))
+def _plain_walks_device(nbr_table, degrees, key, *, walk_len: int,
+                        n_walks: int) -> jnp.ndarray:
+    """(n_walks, walk_len) uniform random walks from uniform roots, 1-based
+    ids, dead ends repeat the last node (GraphSAINTRandomWalkSampler
+    semantics: torch_geometric random_walk; train_node_emb.py:56)."""
+    n = nbr_table.shape[0] - 1
+    max_deg = nbr_table.shape[1]
+    keys = jax.random.split(key, n_walks)
+
+    def one_walk(k):
+        kr, kw = jax.random.split(k)
+        root = jax.random.randint(kr, (), 1, n + 1)
+
+        def step(curr, kt):
+            d = degrees[curr]
+            idx = jax.random.randint(kt, (), 0, jnp.maximum(d, 1))
+            nxt = nbr_table[curr, max_deg - 1 - idx]
+            nxt = jnp.where(d > 0, nxt, curr)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(step, root, jax.random.split(kw, walk_len - 1))
+        return jnp.concatenate([root[None], rest])
+
+    return jax.vmap(one_walk)(keys)
 
 
 def _edge_scores(emb, edges):
@@ -80,8 +131,16 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                           lr: float = 1e-3, weight_decay: float = 5e-4,
                           dropout: float = 0.4, epochs: int = 100,
                           seed: int = 0, features: str = "one_hot",
+                          minibatch: str = "full", batch_size: int = 512,
+                          walk_length: int = 32, num_steps: int = 32,
+                          plots_dir: Optional[str | Path] = None,
                           log_every: int = 0) -> Tuple[np.ndarray, Dict]:
-    """Returns (embeddings (n_nodes, out_dim) float32, metrics dict)."""
+    """Returns (embeddings (n_nodes, out_dim) float32, metrics dict).
+
+    minibatch='graphsaint' trains each step on the induced subgraph of the
+    nodes visited by `batch_size` device random walks of `walk_length`
+    (num_steps minibatches per epoch, reference train_node_emb.py:52-56);
+    'full' is one full-graph step per epoch."""
     import optax
 
     n = graph.n_nodes
@@ -147,8 +206,58 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, rng
 
+    if minibatch == "graphsaint":
+        nbr_table, degrees_1b = padded_neighbor_table(graph)
+        sample_ids_n = batch_size * walk_length
+        n_neg_saint = max(sample_ids_n // 8, 1)
+
+        @jax.jit
+        def saint_step(params, opt_state, rng):
+            rng, kw, kd, kn1, kn2 = jax.random.split(rng, 5)
+            walks = _plain_walks_device(nbr_table, degrees_1b, kw,
+                                        walk_len=walk_length,
+                                        n_walks=batch_size)     # 1-based
+            sample_ids = walks.reshape(-1)                       # (B*L,)
+            member = jnp.zeros(n + 1).at[sample_ids].set(1.0)[1:]  # (n,)
+            # negatives drawn from the sampled nodes (within-subgraph
+            # negative_sampling analog, train_node_emb.py:63)
+            neg = jnp.stack([
+                sample_ids[jax.random.randint(kn1, (n_neg_saint,), 0,
+                                              sample_ids_n)] - 1,
+                sample_ids[jax.random.randint(kn2, (n_neg_saint,), 0,
+                                              sample_ids_n)] - 1])
+            neg = jnp.clip(neg, 0, n - 1)
+
+            def loss_fn(p):
+                emb = gnn_forward(p, x, src_j, dst_j, n, conv_type, deg,
+                                  dropout=dropout, train=True, rng=kd,
+                                  member=member)
+                w_pos = member[train_pos[0]] * member[train_pos[1]]
+                pos_s = _edge_scores(emb, train_pos)
+                neg_s = _edge_scores(emb, neg)
+                eps = 1e-7
+                pos_term = -(w_pos * jnp.log(pos_s + eps)).sum()
+                neg_term = -jnp.log(1 - neg_s + eps).sum()
+                return (pos_term + neg_term) / (w_pos.sum() + n_neg_saint)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, rng
+    elif minibatch != "full":
+        raise ValueError(minibatch)
+
+    loss_history = []
     for epoch in range(epochs):
-        params, opt_state, loss, key = step(params, opt_state, key)
+        if minibatch == "graphsaint":
+            total = 0.0
+            for _ in range(num_steps):
+                params, opt_state, loss, key = saint_step(params, opt_state,
+                                                          key)
+                total += float(loss)
+            loss = total / num_steps
+        else:
+            params, opt_state, loss, key = step(params, opt_state, key)
+        loss_history.append(float(loss))
         if log_every and epoch % log_every == 0:
             print(f"node-emb epoch {epoch}: loss={float(loss):.4f}")
 
@@ -163,11 +272,100 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
             np.asarray(_edge_scores(emb, jnp.asarray(neg_e)))])
         truth = np.concatenate([np.ones(pos_e.shape[1]),
                                 np.zeros(neg_e.shape[1])])
-        return binary_auc(truth, scores)
+        # acc at the reference's 0.5 threshold (utils.py:47-59) + AUC
+        return (binary_auc(truth, scores),
+                float(((scores >= 0.5) == truth).mean()),
+                truth, scores)
 
-    metrics = {f"{s}_auc": eval_split(s) for s in ("train", "val", "test")}
+    metrics = {}
+    curves = {}
+    for s in ("train", "val", "test"):
+        auc, acc, truth, scores = eval_split(s)
+        metrics[f"{s}_auc"] = auc
+        metrics[f"{s}_acc"] = acc
+        curves[s] = (truth, scores)
     metrics["final_loss"] = float(loss)
+    if plots_dir is not None:
+        _save_plots(Path(plots_dir), conv_type, loss_history, curves)
     return emb_np, metrics
+
+
+def _save_plots(plots_dir: Path, conv_type: str, loss_history, curves):
+    """Loss-curve + ROC-curve artifacts (reference: utils.py:117-192)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plots_dir.mkdir(parents=True, exist_ok=True)
+    fig, ax = plt.subplots()
+    ax.plot(loss_history)
+    ax.set_xlabel("epoch"); ax.set_ylabel("train loss")
+    fig.savefig(plots_dir / f"{conv_type}_loss_curve.png", dpi=80)
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    for split, (truth, scores) in curves.items():
+        order = np.argsort(-scores)
+        t = truth[order]
+        tpr = np.cumsum(t) / max(t.sum(), 1)
+        fpr = np.cumsum(1 - t) / max((1 - t).sum(), 1)
+        ax.plot(fpr, tpr, label=split)
+    ax.plot([0, 1], [0, 1], "k--", lw=0.5)
+    ax.set_xlabel("FPR"); ax.set_ylabel("TPR"); ax.legend()
+    fig.savefig(plots_dir / f"{conv_type}_roc_curve.png", dpi=80)
+    plt.close(fig)
+
+
+# Reference search spaces (config_prepare_dataset.py:46-55)
+SEARCH_SPACES = {
+    "batch_size": [512, 1024],
+    "hidden": [128, 256],
+    "out_dim": [64],
+    "lr": [0.001, 0.005],
+    "weight_decay": [5e-4, 5e-5],
+    "dropout": [0.4, 0.5],
+    "walk_length": [32],
+    "num_steps": [32],
+}
+
+
+def greedy_hyperparam_search(graph: CSRGraph, *, conv_type: str = "gin",
+                             minibatch: str = "full", epochs: int = 50,
+                             seed: int = 0, log_fn=None):
+    """Greedy coordinate-descent over the reference's spaces
+    (train_node_emb.py:146-172): hyperparameter TYPES are visited in a
+    shuffled order; within a type every value is tried (shuffled) with the
+    other coordinates at their current-best values; the best-so-far model by
+    val accuracy is kept across ALL runs.
+
+    Returns (best_embeddings, best_metrics, best_hyperparameters).
+    """
+    spaces = dict(SEARCH_SPACES)
+    if minibatch != "graphsaint":
+        spaces.pop("walk_length"); spaces.pop("num_steps")
+        spaces.pop("batch_size")
+    shuffler = pyrandom.Random(seed)
+    current = {k: v[0] for k, v in spaces.items()}
+    best = {"val_acc": -1.0, "emb": None, "metrics": None, "hp": dict(current)}
+    types = list(spaces)
+    shuffler.shuffle(types)
+    for param_type in types:
+        vals = list(spaces[param_type])
+        shuffler.shuffle(vals)
+        for val in vals:
+            current[param_type] = val
+            emb, metrics = train_node_embeddings(
+                graph, conv_type=conv_type, minibatch=minibatch,
+                epochs=epochs, seed=seed, **current)
+            if log_fn:
+                log_fn(f"greedy {current} -> val_acc={metrics['val_acc']:.4f}"
+                       f" val_auc={metrics['val_auc']:.4f}")
+            if metrics["val_acc"] >= best["val_acc"]:
+                best = {"val_acc": metrics["val_acc"], "emb": emb,
+                        "metrics": metrics, "hp": dict(current)}
+        # settle this coordinate at the best value seen so far
+        current[param_type] = best["hp"][param_type]
+    return best["emb"], best["metrics"], best["hp"]
 
 
 def save_embeddings(out_dir: str | Path, emb: np.ndarray, conv_type: str):
