@@ -1,0 +1,63 @@
+"""Release gate: the checked-in miniature dataset in the reference's EXACT
+on-disk format (VERDICT round-1 item 4) trains end-to-end through the
+canonical config driver.
+
+Covers every file type of the reference path contract
+(SubGNN/train_config.py:216-231): edge_list.txt, subgraphs.pth TSV with
+'-'-joined MULTILABEL rows and a val split smaller than test (the swap
+quirk, subgraph_utils.py:89-90), shortest_path_matrix.npy,
+degree_sequence.txt, ego_graphs.txt, torch-saved gin_embeddings.pth, and
+the similarities/ cache dir. Regenerate with scripts/make_mini_fixture.py.
+"""
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURE = Path(__file__).parent / "fixtures" / "mini_multilabel"
+
+
+@pytest.fixture()
+def mini_root(tmp_path):
+    shutil.copytree(FIXTURE / "mini", tmp_path / "mini")
+    return tmp_path
+
+
+def test_fixture_files_are_reference_format():
+    import torch
+    task = FIXTURE / "mini"
+    emb = torch.load(task / "gin_embeddings.pth", map_location="cpu",
+                     weights_only=False)
+    assert isinstance(emb, torch.Tensor) and emb.shape == (40, 8)
+    sp = np.load(task / "shortest_path_matrix.npy")
+    assert sp.shape == (40, 40) and sp.dtype.kind in "iu"
+    assert np.all(np.diag(sp) == 0)
+    ego = json.loads((task / "ego_graphs.txt").read_text())
+    deg = json.loads((task / "degree_sequence.txt").read_text())
+    assert set(ego) == set(deg) == {str(i) for i in range(40)}
+    rows = (task / "subgraphs.pth").read_text().strip().split("\n")
+    assert any("-" in r.split("\t")[1] for r in rows)  # multilabel rows
+    splits = [r.split("\t")[2] for r in rows]
+    assert splits.count("val") < splits.count("test")  # swap quirk trips
+
+
+def test_multilabel_read_applies_swap_quirk(mini_root):
+    from subgnn_tpu.data.subgraphs import read_subgraphs
+    tr, trl, va, val, te, tel, multilabel = read_subgraphs(
+        mini_root / "mini" / "subgraphs.pth")
+    assert multilabel
+    # file had 2 val / 4 test; reader swaps so val is the larger split
+    assert len(va) == 4 and len(te) == 2
+
+
+def test_train_config_runs_on_reference_format_fixture(mini_root):
+    from subgnn_tpu.cli.train_config import run_study
+    study = run_study(str(FIXTURE / "mini_config.json"),
+                      project_root=str(mini_root), log_fn=None)
+    best = study.best_trial
+    assert best is not None and 0.0 <= best["value"] <= 1.0
+    # the run exercised the precompute cache dir + multilabel BCE path
+    sim_dir = mini_root / "mini" / "similarities"
+    assert any(sim_dir.glob("*_similarities.npy"))
