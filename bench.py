@@ -2,15 +2,18 @@
 
 Prints ONE JSON line:
     {"metric": "mpn_edges_per_s", "value": N, "unit": "edges/s",
-     "vs_baseline": R}
+     "vs_baseline": R, "anchor_patch_samples_per_s": W}
 
-The metric counts anchor-patch->CC message edges processed per second by the
-full jitted training step (forward + backward + Adam) on the flagship
-configuration — the reference's hot loop equivalent (its PyG scatter over
-the same bipartite edges, SubGNN/subgraph_mpn.py:162-231). vs_baseline is
-the ratio against BASELINE_EDGES_PER_S, an estimated reference-implementation
-throughput for the same edge count (measured once with the torch path; the
-reference repo itself publishes no perf numbers — BASELINE.md).
+The primary metric counts anchor-patch->CC message edges processed per
+second by the full jitted training step (forward + backward + Adam) on the
+flagship configuration — the reference's hot loop equivalent (its PyG
+scatter over the same bipartite edges, SubGNN/subgraph_mpn.py:162-231).
+vs_baseline is the ratio against BASELINE_EDGES_PER_S, an estimated
+reference-implementation throughput for the same edge count (measured once
+with the torch path; the reference repo itself publishes no perf numbers —
+BASELINE.md). anchor_patch_samples_per_s is the on-device triangular-walk
+sampler's anchor patches per second per chip (BASELINE.json's second
+metric); per-stage attribution lives in scripts/bench_stages.py + PERF.md.
 """
 from __future__ import annotations
 
@@ -107,7 +110,47 @@ def main():
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
+        "anchor_patch_samples_per_s": round(_bench_device_sampler(), 1),
     }))
+
+
+def _bench_device_sampler(n_nodes: int = 8192, n_walks: int = 4096,
+                          walk_len: int = 24, rounds: int = 8) -> float:
+    """Anchor patches sampled per second by the on-device triangular-walk
+    sampler (sampling/device_walks.py) on a synthetic avg-degree-16 graph —
+    per-chip counterpart to the reference's host NetworkX walker
+    (anchor_patch_samplers.py:210-243). All `rounds` resampling rounds run
+    inside one jit dispatch so the tunnel RTT stays out of the number."""
+    import jax
+    import jax.numpy as jnp
+    import time
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.sampling.device_walks import (padded_neighbor_table,
+                                                  triangular_walks_device)
+
+    rng_np = np.random.default_rng(0)
+    edges = rng_np.integers(1, n_nodes + 1, (n_nodes * 8, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    g = CSRGraph.from_edges(edges, n_nodes=n_nodes)
+    nbr, degs = padded_neighbor_table(g)
+    starts = jnp.asarray(g.node_ids())
+
+    @jax.jit
+    def run(key):
+        def body(i, acc):
+            w = triangular_walks_device(nbr, degs, starts,
+                                        jax.random.fold_in(key, i),
+                                        walk_len=walk_len, n_walks=n_walks,
+                                        rw_beta=0.65)
+            return acc + w.sum()
+
+        return jax.lax.fori_loop(0, rounds, body, jnp.int32(0))
+
+    jax.block_until_ready(run(jax.random.PRNGKey(0)))    # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(jax.random.PRNGKey(1)))
+    dt = time.perf_counter() - t0
+    return n_walks * rounds / dt
 
 
 if __name__ == "__main__":

@@ -1,0 +1,172 @@
+"""Per-stage timing breakdown of the flagship training step (PERF.md).
+
+Differential timing of jitted sub-programs at the exact bench.py shapes —
+every measured loop runs inside one on-device fori_loop so the tunnel RTT
+stays out of the numbers (CLAUDE.md: only same-process A/B deltas are
+reliable over the axon tunnel):
+
+  full        fwd + bwd + Adam (the bench.py number)
+  forward     fwd only                      -> bwd+opt = full - forward
+  fwd_no_N / fwd_no_P / fwd_no_S            -> marginal channel cost
+  lstm        isolated structure bi-LSTM anchor encode (same shapes)
+  head        isolated 3-layer MLP head + loss
+
+Usage: PYTHONPATH=/root/repo python scripts/bench_stages.py [-iters 50]
+Writes JSON to stdout; attribution notes live in PERF.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def timed_loop(fn, args, iters):
+    """Time `iters` repeats of fn inside one jitted fori_loop dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(args):
+        def body(i, acc):
+            return acc + fn(i, args)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    jax.block_until_ready(run(args))      # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(args))
+    return (time.perf_counter() - t0) / iters
+
+
+SMALL = False
+
+
+def build(hp_overrides=None):
+    import __graft_entry__ as ge
+    B, C, n_nodes = (64, 3, 512) if SMALL else (512, 3, 8192)
+    base = dict(node_embed_size=128, n_layers=2,
+                n_anchor_patches_N_in=15, n_anchor_patches_N_out=30,
+                n_anchor_patches_pos_in=30, n_anchor_patches_pos_out=60,
+                n_anchor_patches_structure=15, n_triangular_walks=5,
+                random_walk_len=10, linear_hidden_dim_1=64,
+                linear_hidden_dim_2=32)
+    base.update(hp_overrides or {})
+    model, hp, params, state, batch, anchors = ge._build_flagship(
+        n_nodes=n_nodes, n_sub=B, C=C, L=16, n_pool=150, hp_overrides=base)
+    # same plan-routed embedding backward as bench.py's measured step
+    from subgnn_tpu.train.plans import PlanBuilder, neigh_ids_for_batch
+    builder = PlanBuilder(params["node_embed"].shape[0])
+    batch["cc_plan"] = builder.build("cc", np.asarray(batch["cc_ids"]))
+    batch["neigh_plan"] = builder.build(
+        "neigh", neigh_ids_for_batch(anchors, np.arange(B)))
+    return model, hp, params, state, batch, anchors
+
+
+def step_time(hp_overrides=None, mode="full", iters=50):
+    import jax
+    import optax
+
+    model, hp, params, state, batch, anchors = build(hp_overrides)
+    rng = jax.random.PRNGKey(0)
+
+    if mode == "forward":
+        def fn(i, args):
+            p, b = args
+            logits, _ = model.forward(p, state, b, anchors, train=True,
+                                      rng=jax.random.fold_in(rng, i))
+            return logits.sum()
+
+        return timed_loop(fn, (params, batch), iters)
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def fn(i, args):
+        p, o, b = args
+
+        def loss_fn(p):
+            logits, _ = model.forward(p, state, b, anchors, train=True,
+                                      rng=jax.random.fold_in(rng, i))
+            return model.loss_fn(logits, b["label"], b["valid"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        return loss
+
+    return timed_loop(fn, (params, opt_state, batch), iters)
+
+
+def lstm_time(iters=50):
+    """Isolated structure-anchor bi-LSTM encode at flagship shapes."""
+    import jax
+
+    model, hp, params, state, batch, anchors = build()
+    int_w = anchors["struc_int_walks"]
+    bor_w = anchors["struc_bor_walks"]
+
+    def fn(i, args):
+        p = args
+        emb_i, emb_b = model._struct_anchor_embeds(
+            p, p["node_embed"], int_w, bor_w, train=False, rng=None)
+        return emb_i.sum() + emb_b.sum()
+
+    return timed_loop(fn, params, iters)
+
+
+def head_time(iters=50):
+    import jax
+    import jax.numpy as jnp
+
+    model, hp, params, state, batch, anchors = build()
+    B = batch["cc_ids"].shape[0]
+    x = jnp.ones((B, model.hid_dim), jnp.float32)
+    h = params["head"]
+
+    def fn(i, args):
+        x, h = args
+        y = jax.nn.relu(x @ h["lin1"]["w"] + h["lin1"]["b"])
+        y = jax.nn.relu(y @ h["lin2"]["w"] + h["lin2"]["b"])
+        return (y @ h["lin3"]["w"] + h["lin3"]["b"]).sum()
+
+    return timed_loop(fn, (x, h), iters)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-iters", type=int, default=50)
+    ap.add_argument("-small", action="store_true",
+                    help="tiny shapes for a CPU smoke run")
+    ap.add_argument("-cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+    global SMALL
+    SMALL = args.small
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    out = {}
+    out["full_step_s"] = step_time(mode="full", iters=args.iters)
+    out["forward_s"] = step_time(mode="forward", iters=args.iters)
+    out["bwd_opt_s"] = out["full_step_s"] - out["forward_s"]
+    for ch, key in (("neighborhood", "use_neighborhood"),
+                    ("position", "use_position"),
+                    ("structure", "use_structure")):
+        t = step_time({key: False}, mode="full", iters=args.iters)
+        out[f"full_no_{ch}_s"] = t
+        out[f"marginal_{ch}_s"] = out["full_step_s"] - t
+    out["lstm_encode_s"] = lstm_time(args.iters)
+    out["head_s"] = head_time(args.iters)
+    print(json.dumps({k: round(v * 1e6, 1) for k, v in out.items()},
+                     indent=2), flush=True)
+    print("(values in microseconds per step)")
+
+
+if __name__ == "__main__":
+    main()
