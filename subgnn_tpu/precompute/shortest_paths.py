@@ -124,15 +124,22 @@ def _bfs_device(graph: CSRGraph, chunk: int = 256, mesh=None) -> np.ndarray:
 
 
 def shortest_path_matrix(graph: CSRGraph, backend: str = "auto",
-                         mesh=None) -> np.ndarray:
+                         mesh=None, partition: str = "sources") -> np.ndarray:
     """Dense (n, n) all-pairs hop-distance matrix over RAW 0-based ids.
 
     backend: 'host' | 'device' | 'auto' (device for n <= 4096).
-    A mesh forces the device backend with the source axis sharded.
+    A mesh forces the device backend; partition picks the decomposition:
+    'sources' shards independent BFS sources against a replicated
+    adjacency (no collectives), 'graph' edge-partitions the adjacency
+    itself with an all-gather frontier exchange per level
+    (parallel/partition.py) — use it when the graph exceeds one device.
     """
     n = graph.n_nodes
     from ..ops import native
     if mesh is not None:
+        if partition == "graph":
+            from ..parallel.partition import bfs_graph_partitioned
+            return bfs_graph_partitioned(graph, mesh)
         return _bfs_device(graph, mesh=mesh)
     if backend == "auto":
         # the multithreaded C++ host kernel beats the dense device SpMV for
