@@ -41,11 +41,12 @@ def _bfs_from_sources_host(graph: CSRGraph, sources: np.ndarray) -> np.ndarray:
             total = int((ends - starts).sum())
             if total == 0:
                 break
-            nbr = np.empty(total, dtype=np.int64)
-            pos = 0
-            for st, en in zip(starts, ends):
-                nbr[pos:pos + (en - st)] = indices[st:en]
-                pos += en - st
+            # flat CSR-row gather with no per-node Python loop: element k of
+            # row j sits at indices[starts[j] + k]
+            counts = ends - starts
+            row_start = np.cumsum(counts) - counts
+            offs = np.repeat(starts - row_start, counts) + np.arange(total)
+            nbr = indices[offs]
             new = np.unique(nbr[~visited[nbr]])
             if new.size == 0:
                 break

@@ -199,3 +199,15 @@ def test_structure_similarities(small_graph, rng):
     expect = 1.0 / (dtw_host(cseq[0, :clen[0]], aseq[1, :alen[1]]) + 1.0)
     assert abs(sims[0, 0, 1] - expect) < 1e-5
     assert np.all(sims[:, :, :][cc_ids[:, :, 0] == 0] == 0)
+
+
+def test_host_fallback_bfs_matches_networkx(small_graph):
+    """The pure-NumPy fallback (used when the C++ .so is absent) — exercised
+    directly since backend='host' routes through native when available."""
+    from subgnn_tpu.precompute.shortest_paths import _bfs_from_sources_host
+    csr = to_csr(small_graph)
+    sp = _bfs_from_sources_host(csr, np.arange(1, csr.n_nodes + 1))
+    expect = dict(nx.all_pairs_shortest_path_length(small_graph))
+    for s in small_graph.nodes():
+        for d in small_graph.nodes():
+            assert sp[s, d] == expect[s].get(d, 0)
