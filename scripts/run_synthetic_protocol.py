@@ -38,6 +38,19 @@ def main():
                          "use_position (structure stays on) — the paper's "
                          "winning synthetic configs are per-channel subsets, "
                          "e.g. S-only for cut ratio")
+    ap.add_argument("-channels", default="all",
+                    help="pin the channel subset (e.g. S, N, NS, all) "
+                         "instead of searching it — mirrors the reference's "
+                         "per-subset frozen configs "
+                         "(best_model_hyperparameters/cutratio/"
+                         "S_cutratio_hyperparams.json)")
+    ap.add_argument("-deep", action="store_true",
+                    help="widen the search space to the reference config "
+                         "schema's full extent (n_layers 1-4, patch counts, "
+                         "LSTM depth/dropout, batch size — cf. "
+                         "config_files/README.md ranges); the reference's "
+                         "synthetic winners live here (e.g. cut ratio S: "
+                         "n_layers=4, 28 structure patches)")
     args = ap.parse_args()
 
     root = Path(args.project_root)
@@ -53,9 +66,14 @@ def main():
     from subgnn_tpu.cli.train_config import run_study
     from subgnn_tpu.cli.test import run_seeds
 
+    suffix = ""
+    if args.channels != "all":
+        suffix += f"_{args.channels}"
+    if args.deep:
+        suffix += "_deep"
     cfg = {
         "data": {"task": args.task},
-        "tb": {"dir": "tb", "name": f"{args.task}_hpo"},
+        "tb": {"dir": "tb", "name": f"{args.task}_hpo{suffix}"},
         "optuna": {"opt_n_trials": args.trials,
                    "monitor_metric": "val_micro_f1",
                    "opt_direction": "maximize", "sampler": args.sampler,
@@ -86,12 +104,34 @@ def main():
                              "args": [[True, False]]},
         },
     }
+    if args.channels != "all":
+        subset = set(args.channels.upper())
+        assert subset <= {"N", "S", "P"} and subset, args.channels
+        cfg["hyperparams_fix"]["use_neighborhood"] = "N" in subset
+        cfg["hyperparams_fix"]["use_structure"] = "S" in subset
+        cfg["hyperparams_fix"]["use_position"] = "P" in subset
+    if args.deep:
+        # Reference search ranges (config_files/README.md; the synthetic
+        # winners in best_model_hyperparameters/* sit at n_layers up to 4,
+        # ~28 structure patches, 2-layer LSTM, batch 128, 200 epochs).
+        cfg["hyperparams_fix"]["max_epochs"] = max(args.max_epochs, 200)
+        for key in ("n_layers", "batch_size", "n_anchor_patches_structure"):
+            del cfg["hyperparams_fix"][key]
+        cfg["hyperparams_optuna"].update({
+            "n_layers": {"type": "suggest_int", "args": [1, 4]},
+            "batch_size": {"type": "suggest_categorical",
+                           "args": [[64, 128]]},
+            "n_anchor_patches_structure": {"type": "suggest_int",
+                                           "args": [15, 45]},
+            "lstm_n_layers": {"type": "suggest_int", "args": [1, 2]},
+            "lstm_dropout": {"type": "suggest_float", "args": [0.0, 0.3]},
+        })
     if args.search_channels:
         for key in ("use_neighborhood", "use_position"):
             del cfg["hyperparams_fix"][key]
             cfg["hyperparams_optuna"][key] = {
                 "type": "suggest_categorical", "args": [[True, False]]}
-    cfg_path = root / f"{args.task}_hpo.json"
+    cfg_path = root / f"{args.task}_hpo{suffix}.json"
     cfg_path.write_text(json.dumps(cfg))
     study = run_study(str(cfg_path), project_root=str(root), log_fn=None)
     best = study.best_trial
@@ -100,12 +140,13 @@ def main():
 
     hyp = dict(cfg["hyperparams_fix"])
     hyp.update(best["params"])
-    out_dir = root / f"best_{args.task}"
+    out_dir = root / f"best_{args.task}{suffix}"
     out_dir.mkdir(exist_ok=True)
     (out_dir / "hyperparams.json").write_text(json.dumps(hyp, indent=2))
     res = run_seeds(args.task, str(root), str(out_dir / "hyperparams.json"),
                     n_seeds=args.seeds,
-                    out_dir=str(root / "results" / f"{args.task}_hpo_{args.seeds}seeds"),
+                    out_dir=str(root / "results" /
+                                f"{args.task}_hpo{suffix}_{args.seeds}seeds"),
                     log_fn=lambda m: print(m, flush=True)
                     if m.startswith("seed") else None)
     print("FINAL:", json.dumps(
