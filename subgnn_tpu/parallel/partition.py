@@ -54,7 +54,7 @@ def bfs_graph_partitioned(graph, mesh, chunk: int = 256) -> np.ndarray:
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     devices = np.asarray(mesh.devices).reshape(-1)
     n_dev = devices.size
