@@ -1,0 +1,55 @@
+#!/bin/bash
+# Regenerate every RESULTS.md row from scratch (instance generation -> HPO ->
+# multi-seed retest -> oracles -> throughput). Each block is the exact
+# command that produced the corresponding RESULTS.md row; run the whole file
+# (~6-8 h on one v5e behind the axon tunnel) or any block alone.
+#
+#   PYTHONPATH=/root/repo:/root/.axon_site bash scripts/reproduce_results.sh
+#
+# Datasets are regenerated only if missing (delete data/<task> to force).
+set -ex
+cd "$(dirname "$0")/.."
+export PYTHONPATH=${PYTHONPATH:-/root/repo:/root/.axon_site}
+
+# ---- frozen reference hyperparams on small instances (RESULTS "Quality") --
+python -u scripts/reproduce_synthetics.py --hyperparams S --seeds 5
+python -u scripts/reproduce_synthetics.py --hyperparams all --seeds 1
+
+# ---- 250-instance full protocol (HPO + 10-seed retest) -------------------
+python -u scripts/run_synthetic_protocol.py -property cc -task component250 \
+  -n_subgraphs 250 -trials 15 -seeds 5
+python -u scripts/run_synthetic_protocol.py -property density -task density250 \
+  -n_subgraphs 250 -trials 40 -seeds 10 -sampler tpe
+python -u scripts/run_synthetic_protocol.py -property cut_ratio -task cutratio250 \
+  -n_subgraphs 250 -trials 45 -seeds 10 -sampler tpe -search_channels
+python -u scripts/run_synthetic_protocol.py -property coreness -task coreness5k \
+  -n 5000 -n_subgraphs 250 -trials 40 -seeds 10 -sampler tpe
+
+# ---- round-2 deep-space protocol (reference winning region) --------------
+python -u scripts/run_synthetic_protocol.py -property cut_ratio -task cutratio250 \
+  -n_subgraphs 250 -trials 40 -seeds 10 -sampler tpe -channels S -deep
+python -u scripts/run_synthetic_protocol.py -property density -task density250 \
+  -n_subgraphs 250 -trials 40 -seeds 10 -sampler tpe -deep
+python -u scripts/run_synthetic_protocol.py -property cc -task component250 \
+  -n_subgraphs 250 -trials 40 -seeds 10 -sampler tpe -deep
+
+# ---- reference-frozen S-only retests on the 250 instances ----------------
+python -u -c "
+from subgnn_tpu.cli.test import run_seeds
+run_seeds('cutratio250', 'data',
+          '/root/reference/best_model_hyperparameters/cutratio/S_cutratio_hyperparams.json',
+          n_seeds=10, out_dir='data/results/cutratio250_Sref_10seeds')
+"
+
+# ---- instance-ceiling oracles (RESULTS "Instance-ceiling oracles") -------
+for t in "density250 density" "cutratio250 cut_ratio" "coreness5k coreness" \
+         "component250 cc"; do
+  set -- $t
+  JAX_PLATFORMS=cpu python scripts/instance_oracle.py -task "$1" -property "$2"
+done
+
+# ---- throughput (RESULTS "Throughput", PERF.md) --------------------------
+python bench.py
+python scripts/bench_stages.py
+python scripts/bench_embedding_backward.py
+JAX_PLATFORMS=cpu python bench_torch_baseline.py   # reference-style baseline

@@ -187,17 +187,19 @@ class Trainer:
         batch["valid"] = valid
         return batch
 
-    def _build_fused(self, train_arrays, val_arrays, anchors_by_split,
-                     base_rng):
+    def _build_fused(self, train_arrays, val_arrays, base_rng):
         """One dispatch per train epoch and one per eval epoch: lax.scan
         over the epoch's batch index matrix with the split arrays resident
         on device. Removes the per-step host->device round trip, which
-        dominates wall time when the host link is remote."""
+        dominates wall time when the host link is remote. Anchors are jit
+        ARGUMENTS (not closed over): per-epoch anchor resampling
+        (resample_anchor_patches, reference SubGNN.py:448-460) swaps in
+        same-shaped arrays without recompiling, so resample configs stay
+        on the one-dispatch-per-epoch fast path."""
         model, hp, tx = self.model, self.hp, self.tx
-        train_anchors = anchors_by_split["train"]
-        val_anchors = anchors_by_split["val"]
 
-        def train_epoch(params, opt_state, state, order, step0, extras):
+        def train_epoch(params, opt_state, state, order, step0, extras,
+                        train_anchors):
             # order: (n_batches, B) int32 of subgraph indices; extras: dict
             # of per-batch-stacked GatherPlans (train/plans.py) and compact
             # anchor-column sims (train/sims.py)
@@ -226,7 +228,8 @@ class Trainer:
                 body, (params, opt_state, state, step0), (order, extras))
             return params, opt_state, state, losses
 
-        def eval_epoch(params, state, order, valid, cc_tables, extras):
+        def eval_epoch(params, state, order, valid, cc_tables, extras,
+                       val_anchors):
             def body(_, inp):
                 idx, v, extras_b = inp
                 batch = self._gather_batch(val_arrays, idx, v)
@@ -398,7 +401,7 @@ class Trainer:
         resident_bytes = (self._split_bytes(train_data)
                           + self._split_bytes(val_data)
                           - (np_bytes if compact else 0))
-        fused = (drop_last and not hp.resample_anchor_patches
+        fused = (drop_last
                  and not hp.debug_mode  # debug wants per-step grad norms
                  and resident_bytes < (1 << 30))
         if fused:
@@ -411,8 +414,7 @@ class Trainer:
                                            MX.split_pspecs(train_arrays))
                 val_arrays = self._place(val_arrays,
                                          MX.split_pspecs(val_arrays))
-            self._build_fused(train_arrays, val_arrays, anchors_by_split,
-                              base_rng)
+            self._build_fused(train_arrays, val_arrays, base_rng)
             n_val = len(val_data)
             nb_val = -(-n_val // hp.batch_size)
             val_idx = np.arange(nb_val * hp.batch_size) % n_val
@@ -422,13 +424,17 @@ class Trainer:
             val_valid = self._place(jnp.asarray(
                 (np.arange(nb_val * hp.batch_size) < n_val)
                 .reshape(nb_val, hp.batch_size)), order_spec)
-            val_extras = (S.epoch_compact_sims(val_data.NP_sim,
-                                               anchors_by_split["val"], hp,
-                                               val_order_np)
-                          if compact else {})
-            if self.mesh is not None and val_extras:
-                val_extras = self._place(val_extras,
-                                         MX.epoch_extras_pspecs(val_extras))
+
+            def make_val_extras():
+                ve = (S.epoch_compact_sims(val_data.NP_sim,
+                                           anchors_by_split["val"], hp,
+                                           val_order_np)
+                      if compact else {})
+                if self.mesh is not None and ve:
+                    ve = self._place(ve, MX.epoch_extras_pspecs(ve))
+                return ve
+
+            val_extras = make_val_extras()
             val_cc_tables = None
             if hp.trainable_cc:
                 val_cc_tables = self.eval_cc_tables.get("val")
@@ -456,7 +462,8 @@ class Trainer:
                 (self.params, self.opt_state, self.state,
                  losses) = self._fused_train_epoch(
                      self.params, self.opt_state, self.state,
-                     order_dev, jnp.int32(self.global_step), extras)
+                     order_dev, jnp.int32(self.global_step), extras,
+                     anchors_by_split["train"])
                 self.global_step += order.shape[0]
                 train_losses = list(np.asarray(losses, np.float64))
             else:
@@ -493,7 +500,7 @@ class Trainer:
             if fused:
                 v_losses, v_logits = self._fused_eval_epoch(
                     self.params, self.state, val_order, val_valid,
-                    val_cc_tables, val_extras)
+                    val_cc_tables, val_extras, anchors_by_split["val"])
                 v_logits = np.asarray(v_logits)
                 v_valid = np.asarray(val_valid)
                 flat_logits = v_logits.reshape(-1, v_logits.shape[-1])[
@@ -536,7 +543,13 @@ class Trainer:
             if on_epoch_end is not None:
                 new_anchors = on_epoch_end(epoch)
                 if new_anchors:
+                    if self.mesh is not None:
+                        new_anchors = {s: self._place(a)
+                                       for s, a in new_anchors.items()}
                     anchors_by_split.update(new_anchors)
+                    if fused and compact:
+                        # val anchor columns changed with the anchors
+                        val_extras = make_val_extras()
         if profile_dir:
             jax.profiler.stop_trace()
         return self.metric_scores[-1] if self.metric_scores else {}

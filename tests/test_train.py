@@ -223,6 +223,57 @@ def test_fused_matches_streaming(rng, monkeypatch):
     np.testing.assert_allclose(f1, f2, atol=1e-5)
 
 
+def test_resample_anchor_patches_stays_fused(rng, monkeypatch):
+    """Per-epoch anchor resampling (reference SubGNN.py:448-460) keeps the
+    one-dispatch-per-epoch fused mode (anchors are jit args, same shapes
+    across epochs) and produces the same trajectory as the streaming path
+    under the same resample schedule."""
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(max_epochs=3, batch_size=3, resample_anchor_patches=True)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+
+    def resampled(epoch):
+        r = np.random.default_rng(100 + epoch)
+        new = {k: jnp.asarray(r.integers(0, np.asarray(v).max() + 1,
+                                         v.shape).astype(np.int32))
+               for k, v in anchors.items()}
+        return {"train": new, "val": new}
+
+    t_fused = Trainer(model, hp)
+    t_fused.fit(params, state, data, data, {"train": anchors, "val": anchors},
+                seed=0, on_epoch_end=resampled, log_fn=None)
+    assert hasattr(t_fused, "_fused_train_epoch")  # stayed on the fast path
+
+    t_stream = Trainer(model, hp)
+    monkeypatch.setattr(Trainer, "_split_bytes",
+                        staticmethod(lambda d: 1 << 40))
+    t_stream.fit(params, state, data, data,
+                 {"train": anchors, "val": anchors}, seed=0,
+                 on_epoch_end=resampled, log_fn=None)
+    assert not hasattr(t_stream, "_fused_train_epoch")
+
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(t_fused.params),
+            jax.tree_util.tree_leaves_with_path(t_stream.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(p1))
+    np.testing.assert_allclose(
+        [m["train_loss"] for m in t_fused.metric_scores],
+        [m["train_loss"] for m in t_stream.metric_scores], atol=1e-5)
+    np.testing.assert_allclose(
+        [m["val_loss"] for m in t_fused.metric_scores],
+        [m["val_loss"] for m in t_stream.metric_scores], atol=1e-5)
+
+
 def test_debug_mode_grad_norms(rng):
     from tests.test_models import build_toy, HP
     from subgnn_tpu.data.dataset import SubgraphData
