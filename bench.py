@@ -38,13 +38,18 @@ def main():
     # production-ish shapes: D=128, 2 layers, all three channels, large
     # serving batch (overhead amortizes with B: 63M edges/s at B=128,
     # 127M at B=512 on v5e)
+    import os
     B, C, n_nodes = 512, 3, 8192
     hp_overrides = dict(node_embed_size=128, n_layers=2,
                         n_anchor_patches_N_in=15, n_anchor_patches_N_out=30,
                         n_anchor_patches_pos_in=30, n_anchor_patches_pos_out=60,
                         n_anchor_patches_structure=15, n_triangular_walks=5,
                         random_walk_len=10, linear_hidden_dim_1=64,
-                        linear_hidden_dim_2=32)
+                        linear_hidden_dim_2=32,
+                        # BENCH_DTYPE=bfloat16 measures the bf16-activation
+                        # step (fp32 master weights; quality parity in
+                        # RESULTS.md) for A/B against the fp32 default
+                        dtype=os.environ.get("BENCH_DTYPE", "float32"))
     model, hp, params, state, batch, anchors = ge._build_flagship(
         n_nodes=n_nodes, n_sub=B, C=C, L=16, n_pool=150,
         hp_overrides=hp_overrides)
@@ -52,7 +57,6 @@ def main():
     # host-side gather plans: embedding-table backward as blocked MXU
     # matmuls instead of a scatter-add (subgnn_tpu/ops/embedding.py);
     # BENCH_NO_PLANS=1 reverts to the scatter path for A/B runs
-    import os
     if not os.environ.get("BENCH_NO_PLANS"):
         from subgnn_tpu.train.plans import PlanBuilder, neigh_ids_for_batch
         builder = PlanBuilder(params["node_embed"].shape[0])
