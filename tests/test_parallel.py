@@ -73,6 +73,42 @@ def test_sharded_forward_matches_single_device():
                                np.asarray(sharded_logits), atol=1e-4)
 
 
+def test_node_sharded_forward_emits_collectives():
+    """With the embedding table sharded over 'node', the per-batch anchor
+    gathers must lower to ICI collectives (all-gather / all-to-all /
+    collective-permute inserted by GSPMD), not to a full-table replication
+    on every device — the SURVEY §2.3 'anchor-patch all-gather'
+    deliverable, made explicit and regression-guarded."""
+    import __graft_entry__ as ge
+    model, hp, params, state, batch, anchors = ge._build_flagship(
+        n_nodes=128, n_sub=8, C=2, L=4, n_pool=16,
+        hp_overrides=dict(node_embed_size=16, n_layers=1,
+                          n_anchor_patches_N_in=3, n_anchor_patches_N_out=3,
+                          n_anchor_patches_pos_in=3, n_anchor_patches_pos_out=3,
+                          n_anchor_patches_structure=3, n_triangular_walks=2,
+                          random_walk_len=4, linear_hidden_dim_1=8,
+                          linear_hidden_dim_2=8))
+    mesh = make_device_mesh(n_data=2, n_node=4)
+    with mesh:
+        sp = shard_tree(mesh, params, param_pspecs(params))
+        sb = shard_tree(mesh, batch, batch_pspecs(batch))
+        sa = shard_tree(mesh, anchors, anchor_pspecs(anchors))
+
+        @jax.jit
+        def fwd(p, b):
+            logits, _ = model.forward(p, state, b, sa, train=False, rng=None)
+            return logits
+
+        hlo = fwd.lower(sp, sb).compile().as_text()
+    # GSPMD implements the sharded-table row gather as a masked gather of
+    # each device's shard followed by a cross-device sum (partial-gather +
+    # all-reduce); all-gather/all-to-all are the other legal lowerings
+    assert any(op in hlo for op in
+               ("all-reduce", "all-gather", "all-to-all",
+                "collective-permute")), \
+        "node-sharded forward compiled without any cross-device collective"
+
+
 def test_sharded_trainer_fit_matches_single_device():
     """The PRODUCTION Trainer on a (data=4, node=2) mesh must reproduce the
     single-device training trajectory (fused-epoch scan + GatherPlans +
