@@ -441,30 +441,50 @@ class Trainer:
 
         edges_per_step = mpn_edges_per_step(hp, hp.batch_size,
                                             train_data.cc_ids.shape[1])
+
+        def prep_epoch():
+            """Host-side per-epoch schedule: batch order + GatherPlans +
+            compact anchor-column sims, placed on device. Pure host/numpy
+            work, so it is prefetched for epoch e+1 while the device runs
+            epoch e (dispatch is async; the host only blocks when it reads
+            the losses)."""
+            order = self._epoch_order(len(train_data), hp.batch_size,
+                                      rng_np, drop_last)
+            extras = P.epoch_plans(self._plan_builder, hp,
+                                   train_data.cc_ids,
+                                   anchors_by_split["train"], order)
+            if compact:
+                extras.update(S.epoch_compact_sims(
+                    train_data.NP_sim, anchors_by_split["train"], hp,
+                    order))
+            order_dev = jnp.asarray(order)
+            if self.mesh is not None:
+                order_dev = self._place(order_dev, MX.P(None, "data"))
+                if extras:
+                    extras = self._place(
+                        extras, MX.epoch_extras_pspecs(extras))
+            return order, order_dev, extras
+
+        # anchors feed the plans, so prefetch is only valid while they are
+        # fixed across epochs (resampling rebuilds the schedule in-loop)
+        prefetch = fused and not hp.resample_anchor_patches
+        pending = prep_epoch() if prefetch else None
         for epoch in range(hp.max_epochs):
             t0 = time.time()
             if fused:
-                order = self._epoch_order(len(train_data), hp.batch_size,
-                                          rng_np, drop_last)
-                extras = P.epoch_plans(self._plan_builder, hp,
-                                       train_data.cc_ids,
-                                       anchors_by_split["train"], order)
-                if compact:
-                    extras.update(S.epoch_compact_sims(
-                        train_data.NP_sim, anchors_by_split["train"], hp,
-                        order))
-                order_dev = jnp.asarray(order)
-                if self.mesh is not None:
-                    order_dev = self._place(order_dev, MX.P(None, "data"))
-                    if extras:
-                        extras = self._place(
-                            extras, MX.epoch_extras_pspecs(extras))
+                order, order_dev, extras = (pending if pending is not None
+                                            else prep_epoch())
                 (self.params, self.opt_state, self.state,
                  losses) = self._fused_train_epoch(
                      self.params, self.opt_state, self.state,
                      order_dev, jnp.int32(self.global_step), extras,
                      anchors_by_split["train"])
                 self.global_step += order.shape[0]
+                # overlap: build epoch e+1's schedule before blocking on
+                # epoch e's device losses
+                pending = (prep_epoch()
+                           if prefetch and epoch + 1 < hp.max_epochs
+                           else None)
                 train_losses = list(np.asarray(losses, np.float64))
             else:
                 train_losses = []
