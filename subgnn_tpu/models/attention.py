@@ -1,4 +1,4 @@
-"""Masked softmax and additive attention (optional ff_attn readout).
+"""Masked softmax, dot-product and additive attention (ff_attn readout).
 
 Reference: SubGNN/attention.py (AllenNLP-derived). Only used when the
 ff_attn hyperparameter is true (never in shipped configs), but part of the
@@ -48,6 +48,21 @@ def additive_attention(params, vector, matrix, matrix_mask=None):
     inter = (vector @ params["w"])[:, None, :] + matrix @ params["u"]
     sims = (jnp.tanh(inter) @ params["v"])[..., 0]
     return masked_softmax(sims, matrix_mask)
+
+
+def dot_product_attention(vector, matrix, matrix_mask=None,
+                          normalize: bool = True):
+    """Dot-product similarities between a vector and matrix rows ->
+    optionally masked-softmax-normalized weights.
+
+    vector: (B, D); matrix: (B, R, D); returns (B, R)
+    (reference: attention.py:93-100 DotProductAttention on the
+    Attention base :60-91, incl. the normalize=False similarity mode).
+    """
+    sims = jnp.einsum("bd,brd->br", vector, matrix)
+    if normalize:
+        return masked_softmax(sims, matrix_mask)
+    return sims
 
 
 def weighted_sum(matrix, attention_weights):

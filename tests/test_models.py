@@ -104,6 +104,26 @@ def test_masked_softmax():
     np.testing.assert_allclose(out.sum(), 1.0, atol=1e-6)
 
 
+def test_dot_product_attention_vs_oracle(rng):
+    """Weights match a hand-computed bmm + masked softmax
+    (reference: attention.py:93-100 on the base :60-91)."""
+    vec = rng.normal(size=(2, 4)).astype(np.float32)
+    mat = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    mask = np.array([[True, True, False], [True, True, True]])
+    w = np.asarray(attn.dot_product_attention(
+        jnp.asarray(vec), jnp.asarray(mat), jnp.asarray(mask)))
+    sims = np.einsum("bd,brd->br", vec, mat)
+    ref = np.exp(sims * mask)
+    ref = ref / ref.sum(-1, keepdims=True) * mask
+    ref = ref / (ref.sum(-1, keepdims=True) + 1e-13)
+    np.testing.assert_allclose(w, ref, atol=1e-5)
+    assert w[0, 2] == 0
+    # normalize=False returns raw similarity scores
+    raw = np.asarray(attn.dot_product_attention(
+        jnp.asarray(vec), jnp.asarray(mat), normalize=False))
+    np.testing.assert_allclose(raw, sims, atol=1e-5)
+
+
 def test_additive_attention_shapes():
     p = attn.init_additive_attention(jax.random.PRNGKey(0), 4, 4)
     vec = jnp.ones((2, 4))
