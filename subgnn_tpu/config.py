@@ -85,8 +85,10 @@ class HParams:
     compute_similarities: bool = False
     n_processes: int = 4
     subset_data: bool = False
+    # vestigial reference keys, accepted so frozen hyperparams.json files
+    # load unchanged (reference: train.py:66,122,128,163 — plumbed, unread)
     print_train_times: bool = False
-    set2set: bool = False              # vestigial in the reference; unread
+    set2set: bool = False
     gamma_shortest_max_distance_N: int = 0   # vestigial
     gamma_shortest_max_distance_P: int = 0   # vestigial
 
