@@ -570,6 +570,10 @@ class Trainer:
                     if fused and compact:
                         # val anchor columns changed with the anchors
                         val_extras = make_val_extras()
+                    if pending is not None:
+                        # a prefetched schedule embeds plans/sims built
+                        # from the OLD anchors — rebuild next epoch
+                        pending = None
         if profile_dir:
             jax.profiler.stop_trace()
         return self.metric_scores[-1] if self.metric_scores else {}
