@@ -10,8 +10,15 @@ reliable over the axon tunnel):
   fwd_no_N / fwd_no_P / fwd_no_S            -> marginal channel cost
   lstm        isolated structure bi-LSTM anchor encode (same shapes)
   head        isolated 3-layer MLP head + loss
+  full_bf16   same step with bfloat16 activations (quality A/B in RESULTS.md)
 
-Usage: PYTHONPATH=/root/repo python scripts/bench_stages.py [-iters 50]
+Tunnel throughput drifts on the scale of minutes, so sequential one-shot
+measurements make DIFFERENCES between variants unreliable (an earlier run
+produced negative marginals). All variants are therefore compiled up
+front and then timed ROUND-ROBIN for -rounds passes; the reported value
+is the per-variant median, so slow drift hits every variant equally.
+
+Usage: PYTHONPATH=/root/repo python scripts/bench_stages.py [-iters 30]
 Writes JSON to stdout; attribution notes live in PERF.md.
 """
 from __future__ import annotations
@@ -28,8 +35,9 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def timed_loop(fn, args, iters):
-    """Time `iters` repeats of fn inside one jitted fori_loop dispatch."""
+def make_timer(fn, args, iters):
+    """Compile `iters` repeats of fn fused into one fori_loop dispatch;
+    return a zero-arg callable that runs + times one dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -41,9 +49,13 @@ def timed_loop(fn, args, iters):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     jax.block_until_ready(run(args))      # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(args))
-    return (time.perf_counter() - t0) / iters
+
+    def measure():
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(args))
+        return (time.perf_counter() - t0) / iters
+
+    return measure
 
 
 SMALL = False
@@ -70,7 +82,7 @@ def build(hp_overrides=None):
     return model, hp, params, state, batch, anchors
 
 
-def step_time(hp_overrides=None, mode="full", iters=50):
+def step_timer(hp_overrides=None, mode="full", iters=30):
     import jax
     import optax
 
@@ -84,7 +96,7 @@ def step_time(hp_overrides=None, mode="full", iters=50):
                                       rng=jax.random.fold_in(rng, i))
             return logits.sum()
 
-        return timed_loop(fn, (params, batch), iters)
+        return make_timer(fn, (params, batch), iters)
 
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
@@ -100,13 +112,11 @@ def step_time(hp_overrides=None, mode="full", iters=50):
         loss, grads = jax.value_and_grad(loss_fn)(p)
         return loss
 
-    return timed_loop(fn, (params, opt_state, batch), iters)
+    return make_timer(fn, (params, opt_state, batch), iters)
 
 
-def lstm_time(iters=50):
+def lstm_timer(iters=30):
     """Isolated structure-anchor bi-LSTM encode at flagship shapes."""
-    import jax
-
     model, hp, params, state, batch, anchors = build()
     int_w = anchors["struc_int_walks"]
     bor_w = anchors["struc_bor_walks"]
@@ -117,10 +127,10 @@ def lstm_time(iters=50):
             p, p["node_embed"], int_w, bor_w, train=False, rng=None)
         return emb_i.sum() + emb_b.sum()
 
-    return timed_loop(fn, params, iters)
+    return make_timer(fn, params, iters)
 
 
-def head_time(iters=50):
+def head_timer(iters=30):
     import jax
     import jax.numpy as jnp
 
@@ -135,12 +145,15 @@ def head_time(iters=50):
         y = jax.nn.relu(y @ h["lin2"]["w"] + h["lin2"]["b"])
         return (y @ h["lin3"]["w"] + h["lin3"]["b"]).sum()
 
-    return timed_loop(fn, (x, h), iters)
+    return make_timer(fn, (x, h), iters)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("-iters", type=int, default=50)
+    ap.add_argument("-iters", type=int, default=30,
+                    help="on-device step repeats per timed dispatch")
+    ap.add_argument("-rounds", type=int, default=9,
+                    help="round-robin timing passes (median reported)")
     ap.add_argument("-small", action="store_true",
                     help="tiny shapes for a CPU smoke run")
     ap.add_argument("-cpu", action="store_true", help="force the CPU backend")
@@ -151,21 +164,36 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    out = {}
-    out["full_step_s"] = step_time(mode="full", iters=args.iters)
-    out["forward_s"] = step_time(mode="forward", iters=args.iters)
-    out["bwd_opt_s"] = out["full_step_s"] - out["forward_s"]
+    timers = {}
+    timers["full_step_s"] = step_timer(mode="full", iters=args.iters)
+    timers["forward_s"] = step_timer(mode="forward", iters=args.iters)
     for ch, key in (("neighborhood", "use_neighborhood"),
                     ("position", "use_position"),
                     ("structure", "use_structure")):
-        t = step_time({key: False}, mode="full", iters=args.iters)
-        out[f"full_no_{ch}_s"] = t
-        out[f"marginal_{ch}_s"] = out["full_step_s"] - t
-    out["lstm_encode_s"] = lstm_time(args.iters)
-    out["head_s"] = head_time(args.iters)
-    print(json.dumps({k: round(v * 1e6, 1) for k, v in out.items()},
-                     indent=2), flush=True)
-    print("(values in microseconds per step)")
+        timers[f"full_no_{ch}_s"] = step_timer({key: False}, mode="full",
+                                               iters=args.iters)
+    timers["lstm_encode_s"] = lstm_timer(args.iters)
+    timers["head_s"] = head_timer(args.iters)
+    timers["full_step_bf16_s"] = step_timer({"dtype": "bfloat16"},
+                                            mode="full", iters=args.iters)
+
+    samples = {k: [] for k in timers}
+    for _ in range(args.rounds):
+        for k, measure in timers.items():
+            samples[k].append(measure())
+
+    out = {k: float(np.median(v)) for k, v in samples.items()}
+    out["bwd_opt_s"] = out["full_step_s"] - out["forward_s"]
+    for ch in ("neighborhood", "position", "structure"):
+        out[f"marginal_{ch}_s"] = (out["full_step_s"]
+                                   - out[f"full_no_{ch}_s"])
+    spread = {k: (max(v) - min(v)) / max(np.median(v), 1e-12)
+              for k, v in samples.items()}
+    report = {k: round(v * 1e6, 1) for k, v in out.items()}
+    report["max_rel_spread"] = round(float(max(spread.values())), 3)
+    print(json.dumps(report, indent=2), flush=True)
+    print("(values in microseconds per step; medians over "
+          f"{args.rounds} interleaved rounds)")
 
 
 if __name__ == "__main__":

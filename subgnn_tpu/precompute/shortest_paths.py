@@ -86,8 +86,10 @@ def _bfs_device(graph: CSRGraph, chunk: int = 256, mesh=None) -> np.ndarray:
             mesh, PartitionSpec(tuple(mesh.axis_names)))
         adj = jax.device_put(adj, NamedSharding(mesh, PartitionSpec()))
 
+    # adj is a jit ARGUMENT (closed-over device arrays get embedded in the
+    # serialized HLO, overflowing the axon remote-compile limit at scale)
     @jax.jit
-    def bfs_chunk(src_onehot):
+    def bfs_chunk(adj, src_onehot):
         # src_onehot: (S, n) bool
         def cond(state):
             frontier, visited, dist, d = state
@@ -117,10 +119,10 @@ def _bfs_device(graph: CSRGraph, chunk: int = 256, mesh=None) -> np.ndarray:
         rows = eye[start:start + chunk]
         if rows.shape[0] < chunk:  # pad to static shape
             pad = np.zeros((chunk - rows.shape[0], n), dtype=bool)
-            res = np.asarray(bfs_chunk(put(np.concatenate([rows, pad]))))
+            res = np.asarray(bfs_chunk(adj, put(np.concatenate([rows, pad]))))
             out[start:start + rows.shape[0]] = res[: rows.shape[0]]
         else:
-            out[start:start + chunk] = np.asarray(bfs_chunk(put(rows)))
+            out[start:start + chunk] = np.asarray(bfs_chunk(adj, put(rows)))
     return out
 
 

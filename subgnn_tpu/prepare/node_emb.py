@@ -186,9 +186,15 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
     train_pos = jnp.asarray(splits["train"])
     n_neg = max(train_pos.shape[1] // 4, 1)
+    # Large graph-wide arrays travel as jit ARGUMENTS, never closure
+    # constants: traced constants are embedded verbatim in the serialized
+    # HLO, which at EM-USER scale (57k nodes -> ~60MB of features+edges)
+    # overflows the axon remote-compile request limit (HTTP 413).
+    data = (x, src_j, dst_j, deg, train_pos)
 
     @jax.jit
-    def step(params, opt_state, rng):
+    def step(params, opt_state, rng, data):
+        x, src_j, dst_j, deg, train_pos = data
         rng, kd, kn1, kn2 = jax.random.split(rng, 4)
         neg = jnp.stack([jax.random.randint(kn1, (n_neg,), 0, n),
                          jax.random.randint(kn2, (n_neg,), 0, n)])
@@ -208,11 +214,13 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
 
     if minibatch == "graphsaint":
         nbr_table, degrees_1b = padded_neighbor_table(graph)
+        saint_data = (*data, jnp.asarray(nbr_table), jnp.asarray(degrees_1b))
         sample_ids_n = batch_size * walk_length
         n_neg_saint = max(sample_ids_n // 8, 1)
 
         @jax.jit
-        def saint_step(params, opt_state, rng):
+        def saint_step(params, opt_state, rng, data):
+            x, src_j, dst_j, deg, train_pos, nbr_table, degrees_1b = data
             rng, kw, kd, kn1, kn2 = jax.random.split(rng, 5)
             walks = _plain_walks_device(nbr_table, degrees_1b, kw,
                                         walk_len=walk_length,
@@ -252,11 +260,11 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
             total = 0.0
             for _ in range(num_steps):
                 params, opt_state, loss, key = saint_step(params, opt_state,
-                                                          key)
+                                                          key, saint_data)
                 total += float(loss)
             loss = total / num_steps
         else:
-            params, opt_state, loss, key = step(params, opt_state, key)
+            params, opt_state, loss, key = step(params, opt_state, key, data)
         loss_history.append(float(loss))
         if log_every and epoch % log_every == 0:
             print(f"node-emb epoch {epoch}: loss={float(loss):.4f}")

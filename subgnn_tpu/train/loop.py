@@ -195,11 +195,14 @@ class Trainer:
         ARGUMENTS (not closed over): per-epoch anchor resampling
         (resample_anchor_patches, reference SubGNN.py:448-460) swaps in
         same-shaped arrays without recompiling, so resample configs stay
-        on the one-dispatch-per-epoch fast path."""
+        on the one-dispatch-per-epoch fast path. The split arrays are ALSO
+        jit arguments: closed-over device arrays are embedded verbatim in
+        the serialized HLO, which at EM-USER scale overflows the axon
+        remote-compile request limit (HTTP 413)."""
         model, hp, tx = self.model, self.hp, self.tx
 
         def train_epoch(params, opt_state, state, order, step0, extras,
-                        train_anchors):
+                        train_anchors, train_arrays):
             # order: (n_batches, B) int32 of subgraph indices; extras: dict
             # of per-batch-stacked GatherPlans (train/plans.py) and compact
             # anchor-column sims (train/sims.py)
@@ -229,7 +232,7 @@ class Trainer:
             return params, opt_state, state, losses
 
         def eval_epoch(params, state, order, valid, cc_tables, extras,
-                       val_anchors):
+                       val_anchors, val_arrays):
             def body(_, inp):
                 idx, v, extras_b = inp
                 batch = self._gather_batch(val_arrays, idx, v)
@@ -246,6 +249,8 @@ class Trainer:
 
         self._fused_train_epoch = jax.jit(train_epoch)
         self._fused_eval_epoch = jax.jit(eval_epoch)
+        self._fused_train_arrays = train_arrays
+        self._fused_val_arrays = val_arrays
 
     @staticmethod
     def _epoch_order(n, batch_size, rng_np, drop_last):
@@ -478,7 +483,7 @@ class Trainer:
                  losses) = self._fused_train_epoch(
                      self.params, self.opt_state, self.state,
                      order_dev, jnp.int32(self.global_step), extras,
-                     anchors_by_split["train"])
+                     anchors_by_split["train"], self._fused_train_arrays)
                 self.global_step += order.shape[0]
                 # overlap: build epoch e+1's schedule before blocking on
                 # epoch e's device losses
@@ -520,7 +525,8 @@ class Trainer:
             if fused:
                 v_losses, v_logits = self._fused_eval_epoch(
                     self.params, self.state, val_order, val_valid,
-                    val_cc_tables, val_extras, anchors_by_split["val"])
+                    val_cc_tables, val_extras, anchors_by_split["val"],
+                    self._fused_val_arrays)
                 v_logits = np.asarray(v_logits)
                 v_valid = np.asarray(val_valid)
                 flat_logits = v_logits.reshape(-1, v_logits.shape[-1])[
@@ -600,7 +606,7 @@ class Trainer:
         opt_state = sched_tx.init(params)
 
         @jax.jit
-        def step(params, opt_state, batch, rng, lr):
+        def step(params, opt_state, batch, rng, lr, anchors):
             def loss_fn(p):
                 logits, _ = model.forward(p, state, batch, anchors,
                                           train=True, rng=rng,
@@ -626,7 +632,7 @@ class Trainer:
                           for k, v in batch.items()}
                 p, o, loss = step(p, o, jbatch,
                                   jax.random.fold_in(base_rng, it),
-                                  jnp.float32(lrs[it]))
+                                  jnp.float32(lrs[it]), anchors)
                 loss = float(loss)
                 if not np.isfinite(loss):
                     num_steps = it  # diverged: truncate the sweep
