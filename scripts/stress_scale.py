@@ -43,11 +43,14 @@ def main():
     stages = {}
 
     t0 = time.time()
-    if not (task_dir / "subgraphs.pth").exists():
+    have_graph = (task_dir / "subgraphs.pth").exists()
+    have_emb = (task_dir / "gin_embeddings.npy").exists()
+    if not (have_graph and have_emb):
         # GraphSAINT minibatching: full-batch link-pred does not fit/scale
         # at 57k nodes (round-1 limitation, closed in round 2)
         prepare(task_dir, "density", seed=42, conv="gin", emb_dim=64,
                 emb_epochs=args.emb_epochs, emb_minibatch="graphsaint",
+                generate_graph=not have_graph,
                 n=args.n, n_subgraphs=args.n_subgraphs,
                 n_subgraph_nodes=20)
     stages["prepare_s"] = round(time.time() - t0, 1)

@@ -51,6 +51,11 @@ def init_lstm_params(key, n_features: int, h: int, num_layers: int = 1):
     }
 
 
+_UNROLL = True  # walk lengths are 10-26: fully unroll the time loop
+                # (removes per-iteration while-loop overhead on TPU and
+                # lets XLA software-pipeline the small recurrent matmuls)
+
+
 def _gates(xt, h, w_hh):
     gates = xt + h @ w_hh
     i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -63,24 +68,62 @@ def _precompute_xw(p, x):
     return x @ p["w_ih"].astype(dt) + (p["b_ih"] + p["b_hh"]).astype(dt)
 
 
-def _cell_scan(p, x, reverse: bool):
-    """Run one direction over (B, T, in) -> (B, T, h)."""
+def _bidir_xw(fwd_p, bwd_p, x):
+    """Stacked per-direction input projections: (2, T, B, h4) where entry 1
+    is the REVERSED sequence, so one forward-time scan covers both
+    directions (XLA runs separate while loops serially — merging halves
+    the sequential chain count)."""
+    xw_f = _precompute_xw(fwd_p, x)
+    xw_b = _precompute_xw(bwd_p, jnp.flip(x, axis=1))
+    xw = jnp.stack([xw_f, xw_b], axis=0)          # (2, B, T, 4h)
+    return jnp.swapaxes(xw, 1, 2)                 # (2, T, B, 4h)
+
+
+def _bidir_scan(fwd_p, bwd_p, x):
+    """Both directions in ONE scan over (B, T, in) -> (B, T, 2h)."""
     B = x.shape[0]
     dt = x.dtype
-    h_dim = p["w_hh"].shape[0]
-    w_hh = p["w_hh"].astype(dt)
-    xw = _precompute_xw(p, x)
+    h_dim = fwd_p["w_hh"].shape[0]
+    w_hh = jnp.stack([fwd_p["w_hh"], bwd_p["w_hh"]], axis=0).astype(dt)
+    xw = jnp.swapaxes(_bidir_xw(fwd_p, bwd_p, x), 0, 1)  # (T, 2, B, 4h)
 
     def step(carry, xt):
-        h, c = carry
-        i, f, g, o = _gates(xt, h, w_hh)
-        c = f * c + i * g
+        h, c = carry                                      # (2, B, h)
+        gates = xt + jnp.einsum("dbh,dhk->dbk", h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c = f * c + i * jnp.tanh(g)
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((B, h_dim), dt), jnp.zeros((B, h_dim), dt))
-    _, hs = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1), reverse=reverse)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, h)
+    zero = jnp.zeros((2, B, h_dim), dt)
+    _, hs = jax.lax.scan(step, (zero, zero), xw, unroll=_UNROLL)
+    fwd = jnp.swapaxes(hs[:, 0], 0, 1)                    # (B, T, h)
+    bwd = jnp.flip(jnp.swapaxes(hs[:, 1], 0, 1), axis=1)  # un-reverse time
+    return jnp.concatenate([fwd, bwd], axis=-1)           # (B, T, 2h)
+
+
+def _bidir_reduce_sum(fwd_p, bwd_p, x):
+    """Both directions in one scan, carrying only sum_t h_t: (B, 2h)."""
+    B = x.shape[0]
+    dt = x.dtype
+    h_dim = fwd_p["w_hh"].shape[0]
+    w_hh = jnp.stack([fwd_p["w_hh"], bwd_p["w_hh"]], axis=0).astype(dt)
+    xw = jnp.swapaxes(_bidir_xw(fwd_p, bwd_p, x), 0, 1)  # (T, 2, B, 4h)
+
+    def step(carry, xt):
+        h, c, acc = carry
+        gates = xt + jnp.einsum("dbh,dhk->dbk", h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c = f * c + i * jnp.tanh(g)
+        h = o * jnp.tanh(c)
+        return (h, c, acc + h), None
+
+    zero = jnp.zeros((2, B, h_dim), dt)
+    (_, _, acc), _ = jax.lax.scan(step, (zero, zero, zero), xw,
+                                  unroll=_UNROLL)
+    return jnp.concatenate([acc[0], acc[1]], axis=-1)     # (B, 2h)
 
 
 def _cell_reduce(p, x, reverse: bool, mode: str):
@@ -102,7 +145,8 @@ def _cell_reduce(p, x, reverse: bool, mode: str):
 
     zero = jnp.zeros((B, h_dim), dt)
     (h, c, acc), _ = jax.lax.scan(step, (zero, zero, zero),
-                                  jnp.swapaxes(xw, 0, 1), reverse=reverse)
+                                  jnp.swapaxes(xw, 0, 1), reverse=reverse,
+                                  unroll=_UNROLL)
     return acc if mode == "sum" else h
 
 
@@ -135,9 +179,7 @@ def lstm_forward(params, x, *, aggregator: str = "last",
     out = x
     n_layers = len(params["layers"])
     for li, layer in enumerate(params["layers"][:-1]):
-        fwd = _cell_scan(layer["fwd"], out, reverse=False)
-        bwd = _cell_scan(layer["bwd"], out, reverse=True)
-        out = jnp.concatenate([fwd, bwd], axis=-1)  # (B, T, 2h)
+        out = _bidir_scan(layer["fwd"], layer["bwd"], out)  # (B, T, 2h)
         if train and dropout > 0.0 and li < n_layers - 1:
             rng, sub = jax.random.split(rng)
             keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
@@ -149,9 +191,7 @@ def lstm_forward(params, x, *, aggregator: str = "last",
         bwd_h = _cell_single_step(last["bwd"], out[:, -1, :])
         agg = jnp.concatenate([fwd_h, bwd_h], axis=-1)
     elif aggregator == "sum":
-        fwd_s = _cell_reduce(last["fwd"], out, reverse=False, mode="sum")
-        bwd_s = _cell_reduce(last["bwd"], out, reverse=True, mode="sum")
-        agg = jnp.concatenate([fwd_s, bwd_s], axis=-1)
+        agg = _bidir_reduce_sum(last["fwd"], last["bwd"], out)
     else:
         raise NotImplementedError(aggregator)
     dt = agg.dtype
