@@ -116,7 +116,8 @@ def _plain_walks_device(nbr_table, degrees, key, *, walk_len: int,
             nxt = jnp.where(d > 0, nxt, curr)
             return nxt, nxt
 
-        _, rest = jax.lax.scan(step, root, jax.random.split(kw, walk_len - 1))
+        _, rest = jax.lax.scan(step, root, jax.random.split(kw, walk_len - 1),
+                               unroll=True)
         return jnp.concatenate([root[None], rest])
 
     return jax.vmap(one_walk)(keys)

@@ -7,10 +7,10 @@ non-triangle neighbor; dead ends terminate the walk.
 
 TPU-native formulation: the graph's CSR rows are padded to a fixed
 max-degree matrix (n_nodes+1, max_deg) so every step is a dense gather; the
-triangle test is a vectorized membership check of curr's neighbors in
-prev's sorted row (searchsorted); all n_walks advance in lockstep inside a
-lax.scan with per-(seed, walk) stateless keys. Distribution-equivalent to
-the host sampler (different stream).
+triangle test is a dense (max_deg, max_deg) membership compare of curr's
+neighbors against prev's row; all n_walks advance in lockstep inside a
+fully-unrolled lax.scan with per-(seed, walk) stateless keys.
+Distribution-equivalent to the host sampler (different stream).
 
 Used for the offline structure-anchor pool sampling at scale; the host /
 C++ samplers remain for restricted (per-patch) walks where membership
@@ -70,11 +70,13 @@ def triangular_walks_device(nbr_table, degrees, start_nodes, key, *,
             row = nbr_table[curr]                      # (max_deg,)
             d = degrees[curr]
             valid = row != PAD_VALUE
-            # triangle test: neighbor u of curr also adjacent to prev
+            # triangle test: neighbor u of curr also adjacent to prev.
+            # Broadcast membership compare instead of searchsorted — the
+            # vmapped binary search lowers to a chain of dependent dynamic
+            # gathers, while the (max_deg, max_deg) compare is one dense
+            # VPU op per step.
             prev_row = nbr_table[prev]
-            pos = jnp.searchsorted(prev_row, row)
-            pos = jnp.clip(pos, 0, max_deg - 1)
-            tri = valid & (prev_row[pos] == row)
+            tri = valid & (row[:, None] == prev_row[None, :]).any(axis=-1)
             non_tri = valid & ~tri
             n_tri = tri.sum()
             n_non = non_tri.sum()
@@ -93,7 +95,9 @@ def triangular_walks_device(nbr_table, degrees, start_nodes, key, *,
             return (new_prev, new_curr, alive_next), out
 
         step_keys = jax.random.split(kw, walk_len - 2)
-        (_, _, _), rest = jax.lax.scan(step, (prev, curr, alive0), step_keys)
+        # walk lengths are <=26: full unroll removes while-loop overhead
+        (_, _, _), rest = jax.lax.scan(step, (prev, curr, alive0), step_keys,
+                                       unroll=True)
         second = jnp.where(alive0, curr, PAD_VALUE)
         return jnp.concatenate([jnp.stack([prev, second]), rest])
 
