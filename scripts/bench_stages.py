@@ -1,22 +1,29 @@
 """Per-stage timing breakdown of the flagship training step (PERF.md).
 
-Differential timing of jitted sub-programs at the exact bench.py shapes —
-every measured loop runs inside one on-device fori_loop so the tunnel RTT
-stays out of the numbers (CLAUDE.md: only same-process A/B deltas are
-reliable over the axon tunnel):
+Differential timing of jitted sub-programs at the exact bench.py shapes.
+Methodology (every pitfall below was hit by an earlier version):
 
+  * each measured loop runs inside ONE on-device fori_loop dispatch
+    (per-dispatch tunnel RTT is 28ms-1s and would otherwise dominate);
+  * the loop CARRY threads the real data dependency (params/opt_state
+    for the full step, an accumulator fed by the stage output otherwise)
+    — a body whose result is unused is dead-code-eliminated, which
+    silently deleted the backward pass from earlier measurements;
+  * every stage input is perturbed by `i * 1e-30` so no iteration is
+    loop-invariant — XLA hoists invariant bodies out of the loop,
+    leaving an empty loop that measures pure dispatch RTT;
+  * the measured empty-loop dispatch time (RTT floor) is subtracted;
+  * all variants are compiled up front and timed ROUND-ROBIN, reporting
+    per-variant medians, so minute-scale tunnel-throughput drift hits
+    every variant equally.
+
+Stages:
   full        fwd + bwd + Adam (the bench.py number)
   forward     fwd only                      -> bwd+opt = full - forward
-  fwd_no_N / fwd_no_P / fwd_no_S            -> marginal channel cost
+  full_no_N / full_no_P / full_no_S         -> marginal channel cost
   lstm        isolated structure bi-LSTM anchor encode (same shapes)
-  head        isolated 3-layer MLP head + loss
-  full_bf16   same step with bfloat16 activations (quality A/B in RESULTS.md)
-
-Tunnel throughput drifts on the scale of minutes, so sequential one-shot
-measurements make DIFFERENCES between variants unreliable (an earlier run
-produced negative marginals). All variants are therefore compiled up
-front and then timed ROUND-ROBIN for -rounds passes; the reported value
-is the per-variant median, so slow drift hits every variant equally.
+  head        isolated 3-layer MLP head
+  full_bf16   same step with bfloat16 activations
 
 Usage: PYTHONPATH=/root/repo python scripts/bench_stages.py [-iters 30]
 Writes JSON to stdout; attribution notes live in PERF.md.
@@ -35,27 +42,31 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def make_timer(fn, args, iters):
-    """Compile `iters` repeats of fn fused into one fori_loop dispatch;
-    return a zero-arg callable that runs + times one dispatch."""
+def make_timer(body, init_carry, iters):
+    """Compile `iters` repeats of body (carry, i) -> carry fused into one
+    fori_loop dispatch; return a zero-arg callable timing one dispatch."""
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
-    def run(args):
-        def body(i, acc):
-            return acc + fn(i, args)
+    def run(carry):
+        return jax.lax.fori_loop(0, iters, lambda i, c: body(c, i), carry)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    jax.block_until_ready(run(args))      # compile + warm
+    jax.block_until_ready(run(init_carry))      # compile + warm
 
     def measure():
         t0 = time.perf_counter()
-        jax.block_until_ready(run(args))
+        jax.block_until_ready(run(init_carry))
         return (time.perf_counter() - t0) / iters
 
     return measure
+
+
+def rtt_floor_timer(iters):
+    """Empty-loop dispatch: measures pure dispatch/RTT cost per iter."""
+    import jax
+    import jax.numpy as jnp
+
+    return make_timer(lambda c, i: c + 1e-30, jnp.float32(0), iters)
 
 
 SMALL = False
@@ -82,52 +93,69 @@ def build(hp_overrides=None):
     return model, hp, params, state, batch, anchors
 
 
+def _perturbed(batch, i):
+    """Copy of batch with a per-iteration dependence (defeats hoisting)."""
+    import jax.numpy as jnp
+    b = dict(batch)
+    b["NP_sim"] = batch["NP_sim"] + i.astype(jnp.float32) * 1e-30
+    return b
+
+
 def step_timer(hp_overrides=None, mode="full", iters=30):
     import jax
+    import jax.numpy as jnp
     import optax
 
     model, hp, params, state, batch, anchors = build(hp_overrides)
     rng = jax.random.PRNGKey(0)
 
     if mode == "forward":
-        def fn(i, args):
-            p, b = args
-            logits, _ = model.forward(p, state, b, anchors, train=True,
+        def body(carry, i):
+            acc = carry
+            logits, _ = model.forward(params, state, _perturbed(batch, i),
+                                      anchors, train=True,
                                       rng=jax.random.fold_in(rng, i))
-            return logits.sum()
+            return acc + logits.sum() * 1e-30
 
-        return make_timer(fn, (params, batch), iters)
+        return make_timer(body, jnp.float32(0), iters)
 
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
-    def fn(i, args):
-        p, o, b = args
+    def body(carry, i):
+        p, o = carry
 
         def loss_fn(p):
-            logits, _ = model.forward(p, state, b, anchors, train=True,
+            logits, _ = model.forward(p, state, _perturbed(batch, i),
+                                      anchors, train=True,
                                       rng=jax.random.fold_in(rng, i))
-            return model.loss_fn(logits, b["label"], b["valid"])
+            return model.loss_fn(logits, batch["label"], batch["valid"])
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        return loss
+        updates, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o)
 
-    return make_timer(fn, (params, opt_state, batch), iters)
+    return make_timer(body, (params, opt_state), iters)
 
 
 def lstm_timer(iters=30):
-    """Isolated structure-anchor bi-LSTM encode at flagship shapes."""
+    """Isolated structure-anchor bi-LSTM encode at flagship shapes: the
+    carry is a perturbation of the embedding table, so every iteration
+    re-encodes with (slightly) fresh parameters."""
+    import jax.numpy as jnp
+
     model, hp, params, state, batch, anchors = build()
     int_w = anchors["struc_int_walks"]
     bor_w = anchors["struc_bor_walks"]
+    table0 = params["node_embed"]
 
-    def fn(i, args):
-        p = args
+    def body(carry, i):
+        table = table0 + carry * 1e-30
         emb_i, emb_b = model._struct_anchor_embeds(
-            p, p["node_embed"], int_w, bor_w, train=False, rng=None)
-        return emb_i.sum() + emb_b.sum()
+            params, table, int_w, bor_w, train=False, rng=None)
+        return carry + (emb_i.sum() + emb_b.sum()) * 1e-30
 
-    return make_timer(fn, params, iters)
+    return make_timer(body, jnp.float32(0), iters)
 
 
 def head_timer(iters=30):
@@ -136,16 +164,16 @@ def head_timer(iters=30):
 
     model, hp, params, state, batch, anchors = build()
     B = batch["cc_ids"].shape[0]
-    x = jnp.ones((B, model.hid_dim), jnp.float32)
+    x0 = jnp.ones((B, model.hid_dim), jnp.float32)
     h = params["head"]
 
-    def fn(i, args):
-        x, h = args
+    def body(carry, i):
+        x = x0 + carry * 1e-30
         y = jax.nn.relu(x @ h["lin1"]["w"] + h["lin1"]["b"])
         y = jax.nn.relu(y @ h["lin2"]["w"] + h["lin2"]["b"])
-        return (y @ h["lin3"]["w"] + h["lin3"]["b"]).sum()
+        return carry + (y @ h["lin3"]["w"] + h["lin3"]["b"]).sum() * 1e-30
 
-    return make_timer(fn, (x, h), iters)
+    return make_timer(body, jnp.float32(0), iters)
 
 
 def main():
@@ -165,6 +193,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     timers = {}
+    timers["rtt_floor_s"] = rtt_floor_timer(args.iters)
     timers["full_step_s"] = step_timer(mode="full", iters=args.iters)
     timers["forward_s"] = step_timer(mode="forward", iters=args.iters)
     for ch, key in (("neighborhood", "use_neighborhood"),
@@ -183,6 +212,8 @@ def main():
             samples[k].append(measure())
 
     out = {k: float(np.median(v)) for k, v in samples.items()}
+    floor = out.pop("rtt_floor_s")
+    out = {k: v - floor for k, v in out.items()}
     out["bwd_opt_s"] = out["full_step_s"] - out["forward_s"]
     for ch in ("neighborhood", "position", "structure"):
         out[f"marginal_{ch}_s"] = (out["full_step_s"]
@@ -190,10 +221,11 @@ def main():
     spread = {k: (max(v) - min(v)) / max(np.median(v), 1e-12)
               for k, v in samples.items()}
     report = {k: round(v * 1e6, 1) for k, v in out.items()}
+    report["rtt_floor_us_per_iter"] = round(floor * 1e6, 1)
     report["max_rel_spread"] = round(float(max(spread.values())), 3)
     print(json.dumps(report, indent=2), flush=True)
-    print("(values in microseconds per step; medians over "
-          f"{args.rounds} interleaved rounds)")
+    print("(values in microseconds per step, RTT floor subtracted; medians "
+          f"over {args.rounds} interleaved rounds)")
 
 
 if __name__ == "__main__":
