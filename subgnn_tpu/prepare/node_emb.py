@@ -255,20 +255,48 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     elif minibatch != "full":
         raise ValueError(minibatch)
 
-    loss_history = []
-    for epoch in range(epochs):
-        if minibatch == "graphsaint":
-            total = 0.0
-            for _ in range(num_steps):
-                params, opt_state, loss, key = saint_step(params, opt_state,
-                                                          key, saint_data)
-                total += float(loss)
-            loss = total / num_steps
-        else:
-            params, opt_state, loss, key = step(params, opt_state, key, data)
-        loss_history.append(float(loss))
-        if log_every and epoch % log_every == 0:
-            print(f"node-emb epoch {epoch}: loss={float(loss):.4f}")
+    # Fused training loops: over the axon tunnel every host dispatch costs
+    # 28ms-1s RTT, so the whole run executes as ONE device dispatch
+    # (lax.scan over epochs; graphsaint additionally scans its num_steps
+    # inner minibatches), mirroring the Trainer's fused-epoch mode.
+    if minibatch == "graphsaint":
+        @functools.partial(jax.jit, static_argnames=("n_epochs",))
+        def saint_run(params, opt_state, rng, data, *, n_epochs):
+            def epoch_body(carry, _):
+                def step_body(c, _):
+                    p, o, r = c
+                    p, o, loss, r = saint_step(p, o, r, data)
+                    return (p, o, r), loss
+
+                c, losses = jax.lax.scan(step_body, carry, None,
+                                         length=num_steps)
+                return c, losses.mean()
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                epoch_body, (params, opt_state, rng), None, length=n_epochs)
+            return params, opt_state, losses
+
+        params, opt_state, losses = saint_run(params, opt_state, key,
+                                              saint_data, n_epochs=epochs)
+    else:
+        @functools.partial(jax.jit, static_argnames=("n_epochs",))
+        def full_run(params, opt_state, rng, data, *, n_epochs):
+            def body(carry, _):
+                p, o, r = carry
+                p, o, loss, r = step(p, o, r, data)
+                return (p, o, r), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, rng), None, length=n_epochs)
+            return params, opt_state, losses
+
+        params, opt_state, losses = full_run(params, opt_state, key, data,
+                                             n_epochs=epochs)
+    loss_history = [float(x) for x in np.asarray(losses)]
+    loss = loss_history[-1] if loss_history else float("nan")
+    if log_every:
+        for epoch in range(0, epochs, log_every):
+            print(f"node-emb epoch {epoch}: loss={loss_history[epoch]:.4f}")
 
     emb = gnn_forward(params, x, src_j, dst_j, n, conv_type, deg)
     emb_np = np.asarray(emb, dtype=np.float32)
