@@ -28,21 +28,25 @@ extern "C" {
 
 // indptr: int64[n_nodes+2] (1-based rows; row 0 empty)
 // indices: int32[nnz] (1-based ids)
-// out: int32[n_nodes * n_nodes] (raw 0-based [src, dst]), pre-zeroed by caller
-void bfs_all_pairs(const int64_t* indptr, const int32_t* indices,
-                   int64_t n_nodes, int32_t* out, int32_t n_threads) {
+// sources: int32[n_src] (1-based start nodes)
+// out: int32[n_src * n_nodes] (row i = distances from sources[i], raw
+//      0-based destination columns), pre-zeroed by caller
+void bfs_from_sources(const int64_t* indptr, const int32_t* indices,
+                      int64_t n_nodes, const int32_t* sources, int64_t n_src,
+                      int32_t* out, int32_t n_threads) {
   if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
-  std::atomic<int64_t> next_src{1};
+  std::atomic<int64_t> next_idx{0};
   auto worker = [&]() {
     std::vector<int32_t> frontier, next;
     std::vector<uint8_t> visited((size_t)n_nodes + 1);
     frontier.reserve(n_nodes);
     next.reserve(n_nodes);
     for (;;) {
-      int64_t s = next_src.fetch_add(1);
-      if (s > n_nodes) break;
+      int64_t i = next_idx.fetch_add(1);
+      if (i >= n_src) break;
+      int64_t s = sources[i];
       std::memset(visited.data(), 0, visited.size());
-      int32_t* dist = out + (s - 1) * n_nodes;
+      int32_t* dist = out + i * n_nodes;
       visited[s] = 1;
       frontier.clear();
       frontier.push_back((int32_t)s);
@@ -67,6 +71,16 @@ void bfs_all_pairs(const int64_t* indptr, const int32_t* indices,
   std::vector<std::thread> threads;
   for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
+}
+
+// out: int32[n_nodes * n_nodes] (raw 0-based [src, dst]), pre-zeroed by
+// caller — the sources = {1..n} special case of bfs_from_sources
+void bfs_all_pairs(const int64_t* indptr, const int32_t* indices,
+                   int64_t n_nodes, int32_t* out, int32_t n_threads) {
+  std::vector<int32_t> sources((size_t)n_nodes);
+  for (int64_t v = 1; v <= n_nodes; ++v) sources[v - 1] = (int32_t)v;
+  bfs_from_sources(indptr, indices, n_nodes, sources.data(), n_nodes, out,
+                   n_threads);
 }
 
 // ---------------------------------------------------------------- PRNG

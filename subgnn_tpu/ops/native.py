@@ -54,6 +54,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.bfs_all_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.bfs_from_sources.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
     lib.triangular_walks_full.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
@@ -83,6 +87,26 @@ def bfs_all_pairs(graph, n_threads: int = 0) -> np.ndarray:
                       _ptr(indices, ctypes.c_int32),
                       ctypes.c_int64(n), _ptr(out, ctypes.c_int32),
                       ctypes.c_int32(n_threads))
+    return out
+
+
+def bfs_from_sources(graph, sources: np.ndarray,
+                     n_threads: int = 0) -> np.ndarray:
+    """(len(sources), n) int32 hop distances from each 1-based source
+    (unreached = 0) via C++ threads — the EM-USER-scale N/P-sim path,
+    which needs rows only for the subgraph nodes, not all n^2 pairs."""
+    lib = get_lib()
+    assert lib is not None, "native library unavailable"
+    n = graph.n_nodes
+    indptr = np.ascontiguousarray(graph.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(graph.indices, dtype=np.int32)
+    src = np.ascontiguousarray(sources, dtype=np.int32)
+    out = np.zeros((len(src), n), dtype=np.int32)
+    lib.bfs_from_sources(_ptr(indptr, ctypes.c_int64),
+                         _ptr(indices, ctypes.c_int32),
+                         ctypes.c_int64(n), _ptr(src, ctypes.c_int32),
+                         ctypes.c_int64(len(src)),
+                         _ptr(out, ctypes.c_int32), ctypes.c_int32(n_threads))
     return out
 
 

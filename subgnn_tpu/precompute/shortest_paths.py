@@ -157,6 +157,24 @@ def shortest_path_matrix(graph: CSRGraph, backend: str = "auto",
     return _bfs_from_sources_host(graph, sources)
 
 
+def shortest_path_rows(graph: CSRGraph, sources: np.ndarray,
+                       backend: str = "auto") -> np.ndarray:
+    """(len(sources), n) int32 hop distances from each 1-based source node
+    (unreached = 0) — the subset-of-sources counterpart to
+    shortest_path_matrix. The N/P similarity precompute only needs
+    distances FROM the subgraph/CC nodes (reference SubGNN.py:752-781
+    indexes only those rows of the all-pairs matrix), so at EM-USER scale
+    (57k nodes, ~6k subgraph nodes) this avoids building and saving the
+    n^2 matrix (13 GB) entirely."""
+    sources = np.ascontiguousarray(sources, dtype=np.int64)
+    from ..ops import native
+    if backend == "auto":
+        backend = "host"
+    if backend == "host" and native.is_available():
+        return native.bfs_from_sources(graph, sources)
+    return _bfs_from_sources_host(graph, sources)
+
+
 def ego_graphs_1hop(graph: CSRGraph) -> dict:
     """{raw 0-based id: [raw 0-based 1-hop neighbor ids]} — same content as
     the reference's ego_graphs.txt (precompute_graph_metrics.py:34-45)."""

@@ -31,14 +31,19 @@ def compute_shortest_path_similarities(shortest_paths: np.ndarray,
       * padded CCs are filled with PAD_VALUE (0), which is also a legal
         distance value (quirk preserved).
 
-    With a mesh the reduction runs on device: the all-pairs matrix is
-    resident once with its column axis sharded over every mesh device and
-    the min-over-CC-rows accumulates as a scan over the CC length, so each
+    shortest_paths may be the square (n, n) all-pairs matrix, or a
+    row-subset (k, n) matrix from shortest_path_rows with cc_ids already
+    remapped into 1-based row space (runner._np_sim_inputs) — only the row
+    height differs; columns are always the full raw-0-based node axis.
+
+    With a mesh the reduction runs on device: the path matrix is resident
+    once with its column axis sharded over every mesh device and the
+    min-over-CC-rows accumulates as a scan over the CC length, so each
     device only ever touches its 1/n column shard (this is the
     n_nodes-axis analog of the model-side NP-sim sharding).
     """
     n_sub, max_n_cc, _ = cc_ids.shape
-    n_nodes = shortest_paths.shape[0]
+    n_nodes = shortest_paths.shape[1]
     if mesh is not None:
         return _shortest_path_similarities_device(shortest_paths, cc_ids,
                                                   mesh)
@@ -68,7 +73,7 @@ def _shortest_path_similarities_device(shortest_paths: np.ndarray,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_sub, max_n_cc, L = cc_ids.shape
-    n_nodes = shortest_paths.shape[0]
+    n_rows, n_nodes = shortest_paths.shape
     axes = tuple(mesh.axis_names)
     col_sharding = NamedSharding(mesh, P(None, axes))
     n_dev = int(np.prod(list(mesh.shape.values())))
@@ -76,7 +81,7 @@ def _shortest_path_similarities_device(shortest_paths: np.ndarray,
     sp = np.asarray(shortest_paths, np.float32)
     if pad_cols:
         sp = np.concatenate(
-            [sp, np.zeros((n_nodes, pad_cols), np.float32)], axis=1)
+            [sp, np.zeros((n_rows, pad_cols), np.float32)], axis=1)
     sp_dev = jax.device_put(jnp.asarray(sp), col_sharding)
 
     @jax.jit
@@ -84,7 +89,7 @@ def _shortest_path_similarities_device(shortest_paths: np.ndarray,
         # ids: (B, C, L) 1-based, PAD=0
         def body(acc, l):
             col = ids[:, :, l]                             # (B, C)
-            rows = sp_dev[jnp.clip(col - 1, 0, n_nodes - 1)]  # (B, C, n)
+            rows = sp_dev[jnp.clip(col - 1, 0, n_rows - 1)]  # (B, C, n)
             rows = jnp.where((col != PAD_VALUE)[:, :, None], rows, jnp.inf)
             return jnp.minimum(acc, rows), None
 

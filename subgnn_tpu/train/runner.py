@@ -18,7 +18,8 @@ from ..config import HParams, RunConfig
 from ..data.graph import CSRGraph
 from ..data.subgraphs import read_subgraphs, reindex_subgraphs, MultiLabelBinarizer
 from ..data.dataset import SubgraphData, initialize_cc_ids
-from ..precompute.shortest_paths import shortest_path_matrix
+from ..precompute.shortest_paths import (shortest_path_matrix,
+                                         shortest_path_rows)
 from ..precompute.border import compute_border_sets
 from ..precompute.similarities import (
     cached, compute_shortest_path_similarities, compute_structure_similarities,
@@ -34,6 +35,11 @@ from .checkpoint import dump_json, load_params_filtered
 
 SPLITS = ("train", "val", "test")
 SPLIT_TAG = {"train": 0, "val": 1, "test": 2}
+PAD_VALUE = 0
+
+# above this node count the (n, n) all-pairs matrix (>= 1.6 GB and growing
+# quadratically) is never materialized; NP sims BFS from CC sources only
+_FULL_SP_MAX_NODES = 20_000
 
 _CACHE_ENABLED = False
 
@@ -149,27 +155,51 @@ class SubGNNPipeline:
 
         self.np_sim = {s: None for s in SPLITS}
         if hp.use_neighborhood or hp.use_position:
-            # only touch the (n x n) shortest-path matrix when some split's
+            # Lazy: only touch the shortest-path matrix when some split's
             # similarity cache actually misses — loading it dominates
-            # HPO-trial startup otherwise (it is GBs at EM-USER scale)
-            shortest = None
+            # HPO-trial startup otherwise (it is GBs at EM-USER scale).
+            # Above _FULL_SP_MAX_NODES the n^2 all-pairs matrix is never
+            # materialized: the CC-min only reads rows AT subgraph-CC nodes
+            # (reference SubGNN.py:752-781 indexes only those), so we BFS
+            # from just those sources (shortest_path_rows) and remap cc ids
+            # into row space. An existing large on-disk matrix is memory-
+            # mapped so the host CC-min reads only the rows it needs.
+            shortest = None   # (matrix, row_lut-or-None) once computed
 
             def _shortest():
                 nonlocal shortest
                 if shortest is None:
                     sp_path = rc.shortest_paths_path()
                     if sp_path.exists():
-                        shortest = np.load(sp_path, allow_pickle=True)
+                        big = sp_path.stat().st_size > 1 << 30
+                        mm = "r" if (big and mesh is None) else None
+                        shortest = (np.load(sp_path, mmap_mode=mm), None)
+                    elif self.graph.n_nodes > _FULL_SP_MAX_NODES:
+                        srcs = np.unique(np.concatenate(
+                            [self.cc_ids[s].ravel() for s in SPLITS]))
+                        srcs = srcs[srcs != PAD_VALUE].astype(np.int64)
+                        rows = shortest_path_rows(self.graph, srcs)
+                        lut = np.zeros(self.graph.n_nodes + 1, np.int32)
+                        lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
+                        shortest = (rows, lut)
                     else:
-                        shortest = shortest_path_matrix(self.graph)
-                        np.save(sp_path, shortest)
+                        mat = shortest_path_matrix(self.graph)
+                        np.save(rc.shortest_paths_path(), mat)
+                        shortest = (mat, None)
                 return shortest
+
+            def _np_sim_inputs(s):
+                mat, lut = _shortest()
+                ids = self.cc_ids[s]
+                if lut is not None:
+                    ids = lut[ids]  # PAD 0 -> 0; ids now 1-based row space
+                return mat, ids
 
             for s in SPLITS:
                 self.np_sim[s] = np.asarray(cached(
                     np_sim_path(sim_dir, s),
                     lambda s=s: compute_shortest_path_similarities(
-                        _shortest(), self.cc_ids[s], mesh=mesh),
+                        *_np_sim_inputs(s), mesh=mesh),
                     recompute), dtype=np.float32)
         _stage("NP similarities")
 

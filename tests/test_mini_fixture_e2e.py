@@ -61,3 +61,37 @@ def test_train_config_runs_on_reference_format_fixture(mini_root):
     # the run exercised the precompute cache dir + multilabel BCE path
     sim_dir = mini_root / "mini" / "similarities"
     assert any(sim_dir.glob("*_similarities.npy"))
+
+
+def test_precompute_row_subset_path_matches_full(mini_root, monkeypatch):
+    """Above _FULL_SP_MAX_NODES the pipeline must never materialize the
+    (n, n) all-pairs matrix: NP sims come from BFS rows at CC sources only
+    (shortest_path_rows) and must be bit-identical to the full-matrix
+    result."""
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train import runner as runner_mod
+    from subgnn_tpu.train.runner import SubGNNPipeline
+
+    hp = HParams(max_epochs=0, use_structure=False, max_sim_epochs=1)
+
+    def run(root, tag):
+        rc = RunConfig(task="mini", project_root=root)
+        pipe = SubGNNPipeline(rc, hp)
+        pipe.load()
+        pipe.precompute()
+        return pipe
+
+    full = run(mini_root, "full")
+
+    import shutil
+    rows_root = mini_root / "rows"
+    shutil.copytree(mini_root / "mini", rows_root / "mini")
+    (rows_root / "mini" / "shortest_path_matrix.npy").unlink()
+    shutil.rmtree(rows_root / "mini" / "similarities")
+    monkeypatch.setattr(runner_mod, "_FULL_SP_MAX_NODES", 10)  # graph is 40
+    rows = run(rows_root, "rows")
+
+    for s in ("train", "val", "test"):
+        np.testing.assert_array_equal(full.np_sim[s], rows.np_sim[s])
+    # the n^2 artifact must NOT have been rebuilt on the rows path
+    assert not (rows_root / "mini" / "shortest_path_matrix.npy").exists()

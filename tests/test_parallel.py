@@ -315,3 +315,35 @@ def test_adjacency_column_blocks_partition():
     assert np.array_equal(full[:10, :10], full[:10, :10].T)
     degs = full.sum(axis=1)[:10]
     assert np.array_equal(degs, g.degrees[1:].astype(degs.dtype))
+
+
+def test_precompute_np_sims_mesh_row_subset():
+    """The mesh CC-min reduction must handle a rectangular row-subset
+    path matrix (the EM-USER-scale path: BFS rows from CC sources only,
+    cc ids remapped into row space)."""
+    import networkx as nx
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.data.dataset import initialize_cc_ids
+    from subgnn_tpu.precompute.shortest_paths import (shortest_path_matrix,
+                                                      shortest_path_rows)
+    from subgnn_tpu.precompute.similarities import (
+        compute_shortest_path_similarities)
+    rng = np.random.default_rng(7)
+    g = nx.barabasi_albert_graph(60, 2, seed=3)
+    edges = np.asarray(list(g.edges()), dtype=np.int64) + 1
+    csr = CSRGraph.from_edges(edges, n_nodes=60)
+    subgraphs = [(rng.choice(60, size=5, replace=False) + 1).tolist()
+                 for _ in range(5)]
+    cc_ids = initialize_cc_ids(csr, subgraphs)
+    sp = shortest_path_matrix(csr, backend="host")
+    full = compute_shortest_path_similarities(sp, cc_ids)
+
+    srcs = np.unique(cc_ids.ravel())
+    srcs = srcs[srcs != 0].astype(np.int64)
+    rows = shortest_path_rows(csr, srcs)
+    lut = np.zeros(csr.n_nodes + 1, np.int32)
+    lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
+    mesh = make_device_mesh(n_data=4, n_node=2)
+    dev = compute_shortest_path_similarities(rows, lut[cc_ids], mesh=mesh)
+    assert dev.shape == full.shape
+    assert np.allclose(dev, full)

@@ -211,3 +211,40 @@ def test_host_fallback_bfs_matches_networkx(small_graph):
     for s in small_graph.nodes():
         for d in small_graph.nodes():
             assert sp[s, d] == expect[s].get(d, 0)
+
+
+def test_shortest_path_rows_matches_matrix(small_graph):
+    """shortest_path_rows must equal the matching rows of the all-pairs
+    matrix on both backends (native C++ when built, NumPy fallback)."""
+    from subgnn_tpu.precompute.shortest_paths import shortest_path_rows
+    from subgnn_tpu.ops import native
+    csr = to_csr(small_graph)
+    sp = shortest_path_matrix(csr, backend="host")
+    srcs = np.array([3, 1, 17, 42], dtype=np.int64)
+    rows = shortest_path_rows(csr, srcs, backend="fallback")
+    assert np.array_equal(rows, sp[srcs - 1])
+    if native.is_available():
+        rows_native = shortest_path_rows(csr, srcs, backend="host")
+        assert np.array_equal(rows_native, sp[srcs - 1])
+
+
+def test_shortest_path_similarities_row_subset(small_graph, rng):
+    """NP sims computed from a row-subset matrix (CC sources only, ids
+    remapped into row space — the >_FULL_SP_MAX_NODES path in
+    runner.precompute) must be identical to the full-matrix result."""
+    from subgnn_tpu.precompute.shortest_paths import shortest_path_rows
+    csr = to_csr(small_graph)
+    subgraphs = [(rng.choice(60, size=5, replace=False) + 1).tolist()
+                 for _ in range(4)]
+    cc_ids = initialize_cc_ids(csr, subgraphs)
+    sp = shortest_path_matrix(csr, backend="host")
+    full = compute_shortest_path_similarities(sp, cc_ids)
+
+    srcs = np.unique(cc_ids.ravel())
+    srcs = srcs[srcs != 0].astype(np.int64)
+    rows = shortest_path_rows(csr, srcs)
+    lut = np.zeros(csr.n_nodes + 1, np.int32)
+    lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
+    subset = compute_shortest_path_similarities(rows, lut[cc_ids])
+    assert subset.shape == full.shape
+    assert np.array_equal(subset, full)
