@@ -135,13 +135,21 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                           minibatch: str = "full", batch_size: int = 512,
                           walk_length: int = 32, num_steps: int = 32,
                           plots_dir: Optional[str | Path] = None,
-                          log_every: int = 0) -> Tuple[np.ndarray, Dict]:
+                          log_every: int = 0,
+                          mesh=None) -> Tuple[np.ndarray, Dict]:
     """Returns (embeddings (n_nodes, out_dim) float32, metrics dict).
 
     minibatch='graphsaint' trains each step on the induced subgraph of the
     nodes visited by `batch_size` device random walks of `walk_length`
     (num_steps minibatches per epoch, reference train_node_emb.py:52-56);
-    'full' is one full-graph step per epoch."""
+    'full' is one full-graph step per epoch.
+
+    With a mesh the SpMM distributes (SURVEY §2.3 'distributed SpMM'): the
+    directed EDGE arrays shard over every mesh device (features/params
+    replicated), so each device scatter-adds its edge partition's messages
+    and GSPMD inserts the cross-device all-reduce of the partial node sums.
+    Edge padding targets segment id n (out of range -> dropped by
+    segment_sum), so sharded and local runs agree to reduction order."""
     import optax
 
     n = graph.n_nodes
@@ -184,7 +192,24 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     params = init_gnn_params(k, n_feat, hidden, out_dim)
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(params)
-    src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axes = tuple(mesh.axis_names)
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad_e = (-len(src)) % n_dev
+        if pad_e:  # dst=n is out of range -> dropped by segment_sum
+            src = np.concatenate([src, np.zeros(pad_e, np.int32)])
+            dst = np.concatenate([dst, np.full(pad_e, n, np.int32)])
+        edge_sh = NamedSharding(mesh, P(axes))
+        rep = NamedSharding(mesh, P())
+        src_j = jax.device_put(jnp.asarray(src), edge_sh)
+        dst_j = jax.device_put(jnp.asarray(dst), edge_sh)
+        x = jax.device_put(jnp.asarray(x), rep)
+        deg = jax.device_put(deg, rep)
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+    else:
+        src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
     train_pos = jnp.asarray(splits["train"])
     n_neg = max(train_pos.shape[1] // 4, 1)
     # Large graph-wide arrays travel as jit ARGUMENTS, never closure

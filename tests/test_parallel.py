@@ -347,3 +347,52 @@ def test_precompute_np_sims_mesh_row_subset():
     dev = compute_shortest_path_similarities(rows, lut[cc_ids], mesh=mesh)
     assert dev.shape == full.shape
     assert np.allclose(dev, full)
+
+
+def test_node_emb_distributed_spmm_matches_local():
+    """SURVEY §2.3 'distributed SpMM': node-emb pretraining with the edge
+    arrays sharded over an 8-device mesh must (a) reproduce the local run
+    (same keys; reduction-order tolerance) and (b) actually compile to a
+    cross-device reduction of the partial node sums."""
+    import networkx as nx
+    import jax.numpy as jnp
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.prepare.node_emb import train_node_embeddings, gnn_forward
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    g = nx.barabasi_albert_graph(120, 3, seed=0)
+    edges = np.asarray(list(g.edges()), dtype=np.int64) + 1
+    csr = CSRGraph.from_edges(edges, n_nodes=120)
+
+    emb_local, m_local = train_node_embeddings(csr, epochs=5, seed=0,
+                                               hidden=16, out_dim=8)
+    mesh = make_device_mesh(n_data=4, n_node=2)
+    emb_mesh, m_mesh = train_node_embeddings(csr, epochs=5, seed=0,
+                                             hidden=16, out_dim=8, mesh=mesh)
+    np.testing.assert_allclose(emb_local, emb_mesh, atol=2e-4, rtol=1e-4)
+    assert abs(m_local["final_loss"] - m_mesh["final_loss"]) < 1e-4
+
+    # the aggregation itself must lower to a collective when edges shard
+    n = csr.n_nodes
+    src = np.concatenate([np.full(len(csr.neighbors(v)), v - 1, np.int32)
+                          for v in range(1, n + 1)])
+    dst = np.concatenate([csr.neighbors(v) - 1 for v in range(1, n + 1)]
+                         ).astype(np.int32)
+    pad = (-len(src)) % 8
+    src = np.concatenate([src, np.zeros(pad, np.int32)])
+    dst = np.concatenate([dst, np.full(pad, n, np.int32)])
+    edge_sh = NamedSharding(mesh, P(("data", "node")))
+    rep = NamedSharding(mesh, P())
+    x = jax.device_put(jnp.eye(n, dtype=jnp.float32), rep)
+    src_j = jax.device_put(jnp.asarray(src), edge_sh)
+    dst_j = jax.device_put(jnp.asarray(dst), edge_sh)
+
+    @jax.jit
+    def agg(x, s, d):
+        return jax.ops.segment_sum(x[s], d, num_segments=n)
+
+    hlo = agg.lower(x, src_j, dst_j).compile().as_text()
+    assert any(op in hlo for op in
+               ("all-reduce", "all-gather", "all-to-all",
+                "collective-permute")), \
+        "edge-sharded segment_sum compiled without any collective"
