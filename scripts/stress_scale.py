@@ -32,11 +32,19 @@ def main():
     ap.add_argument("-task", default="scale57k")
     ap.add_argument("-project_root", default="data")
     ap.add_argument("-emb_epochs", type=int, default=40)
+    ap.add_argument("-emb_dim", type=int, default=64)
+    ap.add_argument("-ref_hparams", default=None,
+                    help="path to a reference hyperparams.json (e.g. the "
+                         "frozen EM-USER or PPI-BP winner) — runs the "
+                         "pipeline with that EXACT configuration instead "
+                         "of the built-in N+P smoke config")
+    ap.add_argument("-max_epochs", type=int, default=None,
+                    help="override max_epochs of -ref_hparams")
     args = ap.parse_args()
 
     from subgnn_tpu.cli.prepare_dataset import prepare
     from subgnn_tpu.config import HParams, RunConfig
-    from subgnn_tpu.train.runner import SubGNNPipeline
+    from subgnn_tpu.train.runner import SubGNNPipeline, load_best_hyperparams
 
     root = Path(args.project_root)
     task_dir = root / args.task
@@ -48,19 +56,25 @@ def main():
     if not (have_graph and have_emb):
         # GraphSAINT minibatching: full-batch link-pred does not fit/scale
         # at 57k nodes (round-1 limitation, closed in round 2)
-        prepare(task_dir, "density", seed=42, conv="gin", emb_dim=64,
+        prepare(task_dir, "density", seed=42, conv="gin",
+                emb_dim=args.emb_dim,
                 emb_epochs=args.emb_epochs, emb_minibatch="graphsaint",
                 generate_graph=not have_graph,
                 n=args.n, n_subgraphs=args.n_subgraphs,
                 n_subgraph_nodes=20)
     stages["prepare_s"] = round(time.time() - t0, 1)
 
-    hp = HParams(use_neighborhood=True, use_structure=False,
-                 use_position=True, n_layers=1, batch_size=64,
-                 max_epochs=args.epochs, learning_rate=1e-3,
-                 n_anchor_patches_N_in=10, n_anchor_patches_N_out=20,
-                 n_anchor_patches_pos_in=20, n_anchor_patches_pos_out=40,
-                 linear_hidden_dim_1=64, linear_hidden_dim_2=32, seed=0)
+    if args.ref_hparams:
+        hp = load_best_hyperparams(args.ref_hparams)
+        if args.max_epochs is not None:
+            hp = hp.replace(max_epochs=args.max_epochs)
+    else:
+        hp = HParams(use_neighborhood=True, use_structure=False,
+                     use_position=True, n_layers=1, batch_size=64,
+                     max_epochs=args.epochs, learning_rate=1e-3,
+                     n_anchor_patches_N_in=10, n_anchor_patches_N_out=20,
+                     n_anchor_patches_pos_in=20, n_anchor_patches_pos_out=40,
+                     linear_hidden_dim_1=64, linear_hidden_dim_2=32, seed=0)
     rc = RunConfig(task=args.task, project_root=root)
     pipe = SubGNNPipeline(rc, hp,
                           results_dir=root / "results" / args.task)
