@@ -33,13 +33,32 @@ python -u scripts/run_synthetic_protocol.py -property density -task density250 \
 python -u scripts/run_synthetic_protocol.py -property cc -task component250 \
   -n_subgraphs 250 -trials 40 -seeds 10 -sampler tpe -deep
 
-# ---- reference-frozen S-only retests on the 250 instances ----------------
+# ---- reference-frozen-config controls on the 250 instances ---------------
+# (the "frozen-ref" rows: what the reference's own winning configs score
+# on OUR instances — the instance-ceiling argument in RESULTS.md)
+REF=/root/reference/best_model_hyperparameters
 python -u -c "
 from subgnn_tpu.cli.test import run_seeds
 run_seeds('cutratio250', 'data',
-          '/root/reference/best_model_hyperparameters/cutratio/S_cutratio_hyperparams.json',
+          '$REF/cutratio/S_cutratio_hyperparams.json',
           n_seeds=10, out_dir='data/results/cutratio250_Sref_10seeds')
+run_seeds('density250', 'data',
+          '$REF/density/S_density_hyperparams.json',
+          n_seeds=10, out_dir='data/results/density250_Sref_10seeds')
+run_seeds('density250', 'data',
+          '$REF/density/all_density_hyperparams.json',
+          n_seeds=10, out_dir='data/results/density250_ALLref_10seeds')
+run_seeds('component250', 'data',
+          '$REF/component/all_component_hyperparams.json',
+          n_seeds=10, out_dir='data/results/component250_ALLref_10seeds')
 "
+
+# ---- EM-USER / PPI-BP scale with the frozen reference configs ------------
+python -u scripts/stress_scale.py -task scale57k_v2 -n 57000 -n_subgraphs 320
+python -u scripts/stress_scale.py -task scale57k_ref -n 57000 -n_subgraphs 320 \
+  -emb_dim 128 -ref_hparams $REF/em_user/hyperparams.json
+python -u scripts/stress_scale.py -task scale17k_ppi -n 17000 -n_subgraphs 1600 \
+  -emb_dim 64 -ref_hparams $REF/ppi_bp/hyperparams.json
 
 # ---- instance-ceiling oracles (RESULTS "Instance-ceiling oracles") -------
 for t in "density250 density" "cutratio250 cut_ratio" "coreness5k coreness" \
@@ -52,4 +71,6 @@ done
 python bench.py
 python scripts/bench_stages.py
 python scripts/bench_embedding_backward.py
+python scripts/bench_gather_fusion.py              # PERF.md rejected-fusion A/B
+BENCH_DTYPE=bfloat16 python bench.py
 JAX_PLATFORMS=cpu python bench_torch_baseline.py   # reference-style baseline
