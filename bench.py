@@ -97,10 +97,16 @@ def main():
     p, o, loss = run_steps(params, opt_state, batch)
     jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    p, o, loss = run_steps(p, o, batch)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # median of 3 timed dispatches: absolute numbers drift with tunnel/chip
+    # state (84-127M edges/s observed for identical code, CLAUDE.md), so a
+    # single dispatch is a noisy draw; the spread is reported alongside
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p, o, loss = run_steps(p, o, batch)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     edges_per_layer = (hp.n_anchor_patches_N_in + hp.n_anchor_patches_N_out
                        + hp.n_anchor_patches_pos_in + hp.n_anchor_patches_pos_out
@@ -115,6 +121,7 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
         "anchor_patch_samples_per_s": round(_bench_device_sampler(), 1),
+        "run_spread": [round(edges_per_step * iters / t, 1) for t in times],
     }))
 
 
