@@ -297,20 +297,22 @@ class SubGNNPipeline:
 
     # ----------------------------------------------------------------- model
 
-    def _init_cc_tables(self, split: str) -> Dict[str, np.ndarray]:
+    def _cc_tables_from_ids(self, ids: np.ndarray) -> Dict[str, np.ndarray]:
         """Initial per-channel CC tables from the PRETRAINED embeddings
         (reference: SubGNN.py:609-668; val/test stay at this init even as
         node embeddings train — quirk preserved)."""
         table = np.concatenate([np.zeros((1, self.hp.node_embed_size),
                                          np.float32),
                                 self.pretrained_embeds], axis=0)
-        ids = self.cc_ids[split]
         emb = table[ids]  # (N, C, L, D)
         if self.hp.cc_aggregator == "sum":
             cc = emb.sum(axis=2)
         else:
             cc = emb.max(axis=2)
         return {k: cc.copy() for k in CHANNEL_CC_KEYS}
+
+    def _init_cc_tables(self, split: str) -> Dict[str, np.ndarray]:
+        return self._cc_tables_from_ids(self.cc_ids[split])
 
     def build_model(self, seed: Optional[int] = None):
         hp = self.hp
@@ -398,6 +400,129 @@ class SubGNNPipeline:
         return {"val": trainer.metric_scores[-1] if trainer.metric_scores else {},
                 "test": test_metrics,
                 "best_monitor": trainer.best_monitor_value()}
+
+
+    # --------------------------------------------------------------- serving
+
+    def predict(self, node_lists, params=None, state=None,
+                seed: Optional[int] = None,
+                anchors: Optional[Dict[str, Any]] = None):
+        """Classify NEW subgraphs of the loaded base graph (serving path —
+        a capability the reference lacks: its eval only covers the
+        pre-split dataset, SubGNN/test.py).
+
+        node_lists: list of 1-based node-id lists over the SAME base graph
+        as the training data. Requires load() + precompute() (for the
+        persisted structure anchor pool/walks) and trained parameters
+        (run() first, or pass params/state restored from a checkpoint).
+
+        Per-subgraph precompute runs on the fly, never touching the n^2
+        shortest-path matrix: CC split, border sets, NP sims from
+        source-subset BFS rows (shortest_path_rows), and DTW against the
+        SAME persisted anchor pool the model trained with. With
+        trainable_cc the unseen subgraphs' CC tables are initialized from
+        the pretrained embeddings — exactly the reference's treatment of
+        non-train splits (SubGNN.py:646-668).
+
+        Returns {"logits": (N, num_classes) float32,
+                 "probs":  sigmoid (multilabel) or softmax probabilities,
+                 "pred":   thresholded labels / argmax class ids}.
+        """
+        hp = self.hp
+        assert self._loaded, "call load() + precompute() first"
+        trainer = getattr(self, "trainer", None)
+        if params is None:
+            assert trainer is not None, "run() first or pass params/state"
+            params, state = trainer.params, trainer.state
+        if state is None:
+            state = {}
+        seed = hp.seed if seed is None else seed
+        PREDICT_TAG = 3  # fresh RNG stream, disjoint from SPLIT_TAG
+
+        cc_ids = initialize_cc_ids(self.graph, node_lists)       # (N, C, L)
+        n = len(node_lists)
+
+        border = None
+        if hp.use_neighborhood:
+            border = compute_border_sets(self.graph, cc_ids,
+                                         hp.neigh_sample_border_size)
+        np_sim = None
+        if hp.use_neighborhood or hp.use_position:
+            srcs = np.unique(cc_ids.ravel())
+            srcs = srcs[srcs != PAD_VALUE].astype(np.int64)
+            rows = shortest_path_rows(self.graph, srcs)
+            lut = np.zeros(self.graph.n_nodes + 1, np.int32)
+            lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
+            np_sim = compute_shortest_path_similarities(rows, lut[cc_ids])
+        int_s = bor_s = None
+        if hp.use_structure:
+            assert self.structure_anchors is not None, "precompute() first"
+            int_s = compute_structure_similarities(
+                self.graph, cc_ids, self.structure_anchors, internal=True)
+            bor_s = compute_structure_similarities(
+                self.graph, cc_ids, self.structure_anchors, internal=False)
+
+        if anchors is None:
+            anchors = {}
+            if hp.use_neighborhood:
+                ai, ab = init_anchors_neighborhood(hp, cc_ids, border, seed,
+                                                   PREDICT_TAG)
+                anchors["neigh_int"] = jnp.asarray(ai)
+                anchors["neigh_bor"] = jnp.asarray(ab)
+            if hp.use_position:
+                anchors["pos_int"] = jnp.asarray(init_anchors_pos_int(
+                    hp, node_lists, seed, PREDICT_TAG))
+                # shared across splits — identical to the training-time set
+                # (same seed-derived stream, reference SubGNN.py:1012)
+                anchors["pos_ext"] = jnp.asarray(init_anchors_pos_ext(
+                    hp, self.graph, seed))
+            if hp.use_structure:
+                _, idxp, iw, bw = init_anchors_structure(
+                    hp, self.structure_anchors, self.int_walks,
+                    self.bor_walks, seed)
+                anchors["struc_pool_idx"] = jnp.asarray(idxp)
+                anchors["struc_int_walks"] = jnp.asarray(iw)
+                anchors["struc_bor_walks"] = jnp.asarray(bw)
+
+        cc_tables = None
+        if hp.trainable_cc:
+            cc_tables = {k: jnp.asarray(v) for k, v in
+                         self._cc_tables_from_ids(cc_ids).items()}
+
+        from ..data.dataset import pad_node_lists
+        labels = (np.zeros((n, self.num_classes), np.float32)
+                  if self.multilabel else np.zeros(n, np.int64))
+        data = SubgraphData(
+            subgraph_ids=pad_node_lists(node_lists), cc_ids=cc_ids,
+            labels=labels, N_border=border, NP_sim=np_sim,
+            I_S_sim=int_s, B_S_sim=bor_s, multilabel=self.multilabel)
+
+        model = SubGNNModel(hp, self.graph.n_nodes, self.num_classes,
+                            self.multilabel)
+
+        @jax.jit
+        def fwd(params, state, batch):
+            logits, _ = model.forward(params, state, batch, anchors,
+                                      train=False, rng=None,
+                                      cc_tables=cc_tables)
+            return logits
+
+        out = []
+        for batch in data.batches(hp.batch_size, shuffle=False,
+                                  drop_last=False):
+            valid = batch["valid"]
+            jbatch = {k: (jnp.asarray(v) if v is not None else None)
+                      for k, v in batch.items()}
+            out.append(np.asarray(fwd(params, state, jbatch))[valid])
+        logits = np.concatenate(out).astype(np.float32)
+        if self.multilabel:
+            probs = 1.0 / (1.0 + np.exp(-logits))
+            pred = (probs > 0.5).astype(np.int32)
+        else:
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            probs = e / e.sum(axis=1, keepdims=True)
+            pred = probs.argmax(axis=1).astype(np.int32)
+        return {"logits": logits, "probs": probs, "pred": pred}
 
 
 def load_best_hyperparams(path: str | Path) -> HParams:

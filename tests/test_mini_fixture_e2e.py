@@ -95,3 +95,40 @@ def test_precompute_row_subset_path_matches_full(mini_root, monkeypatch):
         np.testing.assert_array_equal(full.np_sim[s], rows.np_sim[s])
     # the n^2 artifact must NOT have been rebuilt on the rows path
     assert not (rows_root / "mini" / "shortest_path_matrix.npy").exists()
+
+
+def test_predict_serves_new_subgraphs(mini_root):
+    """Serving path: predict() classifies subgraph node lists directly.
+    (1) Given the same anchors, predicting the test split's node lists
+    reproduces the test-eval accuracy exactly (the on-the-fly precompute
+    — rows-path NP sims, fresh border sets, DTW vs the persisted pool —
+    is bit-equivalent to the cached split artifacts). (2) Novel node
+    lists get deterministic, well-formed outputs."""
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train.runner import SubGNNPipeline
+    from subgnn_tpu.train import metrics as M
+
+    rc = RunConfig(task="mini", project_root=mini_root)
+    hp = HParams(max_epochs=3, use_neighborhood=True, use_position=True,
+                 use_structure=True, max_sim_epochs=1, n_triangular_walks=2,
+                 random_walk_len=4, sample_walk_len=6, batch_size=4,
+                 n_layers=1, node_embed_size=8, linear_hidden_dim_1=8,
+                 linear_hidden_dim_2=8, n_anchor_patches_N_in=2,
+                 n_anchor_patches_N_out=2, n_anchor_patches_pos_in=3,
+                 n_anchor_patches_pos_out=3, n_anchor_patches_structure=2,
+                 seed=0)
+    pipe = SubGNNPipeline(rc, hp)
+    out = pipe.run(log_fn=None)
+
+    test_anchors = pipe.sample_anchors(hp.seed)["test"]
+    res = pipe.predict(pipe.subgraphs["test"], anchors=test_anchors)
+    labels = pipe.split_data("test").labels
+    acc = M.calc_accuracy(res["logits"], labels, pipe.multilabel)
+    assert np.isclose(acc, out["test"]["test_acc"])
+
+    novel = [[1, 5, 9, 13], [2, 6, 10], [30, 31, 32, 33, 34]]
+    r1 = pipe.predict(novel)
+    r2 = pipe.predict(novel)
+    assert r1["logits"].shape == (3, res["logits"].shape[1])
+    np.testing.assert_array_equal(r1["logits"], r2["logits"])
+    assert r1["probs"].min() >= 0.0 and r1["probs"].max() <= 1.0
