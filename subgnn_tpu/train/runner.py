@@ -500,8 +500,11 @@ class SubGNNPipeline:
         model = SubGNNModel(hp, self.graph.n_nodes, self.num_classes,
                             self.multilabel)
 
+        # anchors/cc_tables travel as jit ARGUMENTS, never closure constants
+        # (closed-over device arrays embed in the serialized HLO and
+        # overflow the axon remote-compile limit at scale — CLAUDE.md)
         @jax.jit
-        def fwd(params, state, batch):
+        def fwd(params, state, batch, anchors, cc_tables):
             logits, _ = model.forward(params, state, batch, anchors,
                                       train=False, rng=None,
                                       cc_tables=cc_tables)
@@ -513,7 +516,8 @@ class SubGNNPipeline:
             valid = batch["valid"]
             jbatch = {k: (jnp.asarray(v) if v is not None else None)
                       for k, v in batch.items()}
-            out.append(np.asarray(fwd(params, state, jbatch))[valid])
+            out.append(np.asarray(
+                fwd(params, state, jbatch, anchors, cc_tables))[valid])
         logits = np.concatenate(out).astype(np.float32)
         if self.multilabel:
             probs = 1.0 / (1.0 + np.exp(-logits))
