@@ -65,6 +65,18 @@ def main():
         batch["neigh_plan"] = builder.build(
             "neigh", neigh_ids_for_batch(anchors, idx))
 
+    # compact anchor-column NP sims (train/sims.py): the production fused
+    # trainer pre-gathers the sampled anchor COLUMNS host-side instead of
+    # shipping the (B, C, n_nodes) tensor and take_along_axis-ing it per
+    # step; bench measures that path. BENCH_NO_COMPACT=1 reverts for A/B.
+    if not os.environ.get("BENCH_NO_COMPACT"):
+        from subgnn_tpu.train import sims as S
+        import jax.numpy as _jnp
+        comp = S.compact_sims_for_batch(np.asarray(batch["NP_sim"]), anchors,
+                                        hp, np.arange(B))
+        batch.update({k: _jnp.asarray(v) for k, v in comp.items()})
+        del batch["NP_sim"]
+
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
