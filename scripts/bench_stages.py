@@ -90,6 +90,17 @@ def build(hp_overrides=None):
     batch["cc_plan"] = builder.build("cc", np.asarray(batch["cc_ids"]))
     batch["neigh_plan"] = builder.build(
         "neigh", neigh_ids_for_batch(anchors, np.arange(B)))
+    # production compact-sims path (pre-gathered anchor columns), matching
+    # bench.py; BENCH_NO_COMPACT=1 reverts to the resident NP_sim tensor
+    import os
+    if not os.environ.get("BENCH_NO_COMPACT") and (
+            hp.use_neighborhood or hp.use_position):
+        import jax.numpy as jnp
+        from subgnn_tpu.train import sims as S
+        comp = S.compact_sims_for_batch(np.asarray(batch["NP_sim"]), anchors,
+                                        hp, np.arange(B))
+        batch.update({k: jnp.asarray(v) for k, v in comp.items()})
+        del batch["NP_sim"]
     return model, hp, params, state, batch, anchors
 
 
@@ -97,7 +108,10 @@ def _perturbed(batch, i):
     """Copy of batch with a per-iteration dependence (defeats hoisting)."""
     import jax.numpy as jnp
     b = dict(batch)
-    b["NP_sim"] = batch["NP_sim"] + i.astype(jnp.float32) * 1e-30
+    for key in ("NP_sim", "neigh_sims", "pos_in_sims", "I_S_sim"):
+        if key in b and b[key] is not None:
+            b[key] = b[key] + i.astype(jnp.float32) * 1e-30
+            break
     return b
 
 
