@@ -132,3 +132,31 @@ def test_predict_serves_new_subgraphs(mini_root):
     assert r1["logits"].shape == (3, res["logits"].shape[1])
     np.testing.assert_array_equal(r1["logits"], r2["logits"])
     assert r1["probs"].min() >= 0.0 and r1["probs"].max() <= 1.0
+
+
+def test_predict_cli_roundtrip(mini_root, tmp_path):
+    """The serving CLI restores a trained run's best checkpoint and
+    classifies node lists from a '-'-joined file."""
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train.runner import SubGNNPipeline
+    from subgnn_tpu.cli.predict import main as predict_main
+
+    rc = RunConfig(task="mini", project_root=mini_root)
+    hp = HParams(max_epochs=3, use_neighborhood=True, use_position=False,
+                 use_structure=False, batch_size=4, n_layers=1,
+                 node_embed_size=8, linear_hidden_dim_1=8,
+                 linear_hidden_dim_2=8, n_anchor_patches_N_in=2,
+                 n_anchor_patches_N_out=2, seed=0)
+    results = tmp_path / "run"
+    SubGNNPipeline(rc, hp, results_dir=results).run(log_fn=None)
+
+    sub_file = tmp_path / "new.txt"
+    sub_file.write_text("1-5-9\n2-6-10-14\n")
+    out_file = tmp_path / "pred.json"
+    predict_main(["-task", "mini", "-project_root", str(mini_root),
+                  "-restoreModelPath", str(results),
+                  "-subgraphs", str(sub_file), "-out", str(out_file)])
+    out = json.loads(out_file.read_text())
+    assert len(out["pred"]) == 2
+    assert out["classes"]  # mini fixture is multilabel
+    assert "val_micro_f1" in out["checkpoint"]
