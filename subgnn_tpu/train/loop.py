@@ -389,14 +389,22 @@ class Trainer:
         rng_np = np.random.default_rng(seed)
         drop_last = hp.batch_size <= len(train_data)
 
-        # Compact-sims mode: when the (n_sub, C, n_nodes) NP-similarity
-        # tensors are large, ship host-gathered anchor columns per batch
-        # instead of keeping them device-resident (train/sims.py) — this is
-        # what makes fused-epoch training possible at EM-USER graph scale.
+        # Compact-sims mode: ship host-gathered anchor COLUMNS per batch
+        # instead of the device-resident (n_sub, C, n_nodes) NP-sim tensors
+        # (train/sims.py). In fused mode this is the DEFAULT at every size:
+        # the per-step take_along_axis over the resident tensor is
+        # descriptor-bound and dominated the step (92M -> 197M edges/s at
+        # the bench shape, PERF.md round 2), while the host gather prefetches
+        # behind device compute. The streaming path (per-batch host gather,
+        # no prefetch) stays size-gated.
         np_bytes = sum(d.NP_sim.nbytes for d in (train_data, val_data)
                        if d.NP_sim is not None)
-        if self.compact_sims is None:
-            self.compact_sims = np_bytes > COMPACT_NP_SIM_BYTES
+        fused_possible = (drop_last
+                          and not hp.debug_mode)  # debug: per-step grad norms
+        auto_compact = self.compact_sims is None
+        if auto_compact:
+            self.compact_sims = (fused_possible
+                                 or np_bytes > COMPACT_NP_SIM_BYTES)
         compact = bool(self.compact_sims and train_data.NP_sim is not None)
 
         # Fused-epoch mode: whole split resident on device, one dispatch per
@@ -406,9 +414,11 @@ class Trainer:
         resident_bytes = (self._split_bytes(train_data)
                           + self._split_bytes(val_data)
                           - (np_bytes if compact else 0))
-        fused = (drop_last
-                 and not hp.debug_mode  # debug wants per-step grad norms
-                 and resident_bytes < (1 << 30))
+        fused = fused_possible and resident_bytes < (1 << 30)
+        if auto_compact and not fused:
+            self.compact_sims = np_bytes > COMPACT_NP_SIM_BYTES
+            compact = bool(self.compact_sims
+                           and train_data.NP_sim is not None)
         if fused:
             train_arrays = self._device_split(train_data,
                                               include_np_sim=not compact)
