@@ -36,14 +36,11 @@ def main():
 
     def gather_body(carry, i):
         t, acc = carry
-        g = t[ids + (i - i)]           # defeat hoisting, keep ids static
-        return (t, acc + g.sum() + i * 1e-30)
-
-    def stream_body(carry, i):
-        # dense-stream control: same bytes, sequential (one big reshape-sum)
-        t, acc = carry
-        big = jnp.broadcast_to(t[None], (n_rows // R, R, D))
-        return (t, acc + big.sum() + i * 1e-30)
+        # index depends on the loop CARRY so nothing can constant-fold or
+        # hoist the gather (i-based arithmetic like `i - i` folds to 0)
+        bump = (acc > jnp.float32(1e30)).astype(jnp.int32)
+        g = t[jnp.minimum(ids + bump, R - 1)]
+        return (t, acc + g.sum() * 1e-30 + 1.0)
 
     iters = 50
     g_t = make_timer(gather_body, (table, jnp.float32(0)), iters)
