@@ -86,8 +86,18 @@ def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None):
 
 def gnn_forward(params, x, src, dst, n_nodes, conv_type, deg, *,
                 dropout=0.0, train=False, rng=None, member=None):
-    h = _aggregate(x, src, dst, n_nodes, conv_type, deg, member)
-    h = jax.nn.relu(h @ params["conv1"]["w"] + params["conv1"]["b"])
+    w1, b1 = params["conv1"]["w"], params["conv1"]["b"]
+    if x.shape[1] > w1.shape[1]:
+        # project-first: aggregation and the linear map commute
+        # (sum_nbr(x) @ W == sum_nbr(x @ W); member/GCN scalings are
+        # row-wise), so aggregating the PROJECTED features moves the
+        # (n_edges, d) gather from d=n_feat to d=hidden — at 100k nodes
+        # with 256-dim features this halves the layer-1 HBM traffic
+        h = _aggregate(x @ w1, src, dst, n_nodes, conv_type, deg, member)
+        h = jax.nn.relu(h + b1)
+    else:
+        h = _aggregate(x, src, dst, n_nodes, conv_type, deg, member)
+        h = jax.nn.relu(h @ w1 + b1)
     if train and dropout > 0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
         h = jnp.where(keep, h / (1.0 - dropout), 0.0)
