@@ -42,6 +42,11 @@ from ..data.graph import CSRGraph
 from ..sampling.device_walks import padded_neighbor_table
 from ..train.metrics import binary_auc
 
+# epochs per fused device dispatch: one multi-minute execution gets the
+# axon TPU worker killed (observed: 100k nodes x 40 graphsaint epochs);
+# chunking costs at most epochs/10 extra tunnel RTTs and <=2 compiles
+EPOCH_DISPATCH_CHUNK = 10
+
 
 def _uniform(key, shape, bound):
     return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
@@ -291,12 +296,15 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         raise ValueError(minibatch)
 
     # Fused training loops: over the axon tunnel every host dispatch costs
-    # 28ms-1s RTT, so the whole run executes as ONE device dispatch
-    # (lax.scan over epochs; graphsaint additionally scans its num_steps
-    # inner minibatches), mirroring the Trainer's fused-epoch mode.
+    # 28ms-1s RTT, so epochs run as lax.scan dispatches (graphsaint
+    # additionally scans its num_steps inner minibatches), mirroring the
+    # Trainer's fused-epoch mode. Dispatches are CHUNKED to at most
+    # EPOCH_DISPATCH_CHUNK epochs: a single multi-minute device execution
+    # gets the axon TPU worker killed (observed at 100k nodes x 40 saint
+    # epochs), and the handful of extra RTTs is negligible.
     if minibatch == "graphsaint":
         @functools.partial(jax.jit, static_argnames=("n_epochs",))
-        def saint_run(params, opt_state, rng, data, *, n_epochs):
+        def run_chunk(params, opt_state, rng, data, *, n_epochs):
             def epoch_body(carry, _):
                 def step_body(c, _):
                     p, o, r = c
@@ -311,11 +319,10 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                 epoch_body, (params, opt_state, rng), None, length=n_epochs)
             return params, opt_state, losses
 
-        params, opt_state, losses = saint_run(params, opt_state, key,
-                                              saint_data, n_epochs=epochs)
+        run_data = saint_data
     else:
         @functools.partial(jax.jit, static_argnames=("n_epochs",))
-        def full_run(params, opt_state, rng, data, *, n_epochs):
+        def run_chunk(params, opt_state, rng, data, *, n_epochs):
             def body(carry, _):
                 p, o, r = carry
                 p, o, loss, r = step(p, o, r, data)
@@ -325,8 +332,17 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                 body, (params, opt_state, rng), None, length=n_epochs)
             return params, opt_state, losses
 
-        params, opt_state, losses = full_run(params, opt_state, key, data,
-                                             n_epochs=epochs)
+        run_data = data
+
+    losses_all = []
+    for e0 in range(0, epochs, EPOCH_DISPATCH_CHUNK):
+        n = min(EPOCH_DISPATCH_CHUNK, epochs - e0)
+        params, opt_state, losses = run_chunk(
+            params, opt_state, jax.random.fold_in(key, e0), run_data,
+            n_epochs=n)
+        losses_all.append(np.asarray(losses))
+    losses = (np.concatenate(losses_all) if losses_all
+              else np.zeros(0, np.float32))
     loss_history = [float(x) for x in np.asarray(losses)]
     loss = loss_history[-1] if loss_history else float("nan")
     if log_every:
