@@ -337,3 +337,30 @@ def test_compact_sims_match_resident(rng):
     assert e_res["test_micro_f1"] == e_cmp["test_micro_f1"]
     np.testing.assert_allclose(e_res["test_loss"], e_cmp["test_loss"],
                                atol=1e-6)
+
+
+def test_compact_default_on_in_fused_mode(rng):
+    """Round-2 default: fused-mode training uses compact sims at EVERY
+    NP-sim size (2.15x measured, PERF.md); streaming stays size-gated."""
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(max_epochs=1, batch_size=3)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    t = Trainer(model, hp)
+    t.fit(params, state, data, data, {"train": anchors, "val": anchors},
+          seed=0, log_fn=None)
+    assert t.compact_sims is True  # tiny NP_sim, but fused -> compact
+
+    # streaming (batch_size > split disables drop_last/fused): size-gated
+    t2 = Trainer(model, hp.replace(batch_size=64))
+    t2.fit(params, state, data, data, {"train": anchors, "val": anchors},
+           seed=0, log_fn=None)
+    assert t2.compact_sims is False  # tiny NP_sim, streaming -> resident
