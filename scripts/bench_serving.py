@@ -1,0 +1,84 @@
+"""Serving-latency measurement at real-dataset scale.
+
+Restores a trained checkpoint and measures SubGNNPipeline.predict() on
+novel subgraphs of the 57k-node (EM-USER-scale) instance:
+  * cold: first call — on-the-fly per-subgraph precompute (CC split,
+    border sets, rows-path BFS, sims) + jit compile,
+  * warm: repeat call with DIFFERENT novel subgraphs of the same shapes
+    (precompute re-runs; compile is cached) — the steady serving cost.
+
+Usage: PYTHONPATH=... python scripts/bench_serving.py [-task scale57k_v2]
+       [-results data/results/scale57k_v2] [-n 32]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-task", default="scale57k_v2")
+    ap.add_argument("-project_root", default="data")
+    ap.add_argument("-results", default="data/results/scale57k_v2")
+    ap.add_argument("-n", type=int, default=32)
+    ap.add_argument("-nodes_per_subgraph", type=int, default=15)
+    args = ap.parse_args()
+
+    from subgnn_tpu.config import RunConfig
+    from subgnn_tpu.train.runner import SubGNNPipeline
+    from subgnn_tpu.cli.predict import find_best_checkpoint
+    from subgnn_tpu.train.checkpoint import load_checkpoint, load_params_filtered
+    from subgnn_tpu.train.runner import load_best_hyperparams
+
+    hp = load_best_hyperparams(Path(args.results) / "hyperparams.json")
+    rc = RunConfig(task=args.task, project_root=args.project_root)
+    pipe = SubGNNPipeline(rc, hp)
+    t0 = time.time()
+    pipe.load()
+    pipe.precompute()
+    t_setup = time.time() - t0
+
+    _, params, state, _ = pipe.build_model()
+    ckpt = find_best_checkpoint(args.results)
+    payload = load_checkpoint(ckpt)
+    params = load_params_filtered(ckpt, params)
+    state = payload.get("state") or state
+
+    rng = np.random.default_rng(7)
+
+    def novel(seed_off):
+        r = np.random.default_rng(100 + seed_off)
+        return [sorted(r.choice(pipe.graph.n_nodes,
+                                size=args.nodes_per_subgraph,
+                                replace=False) + 1)
+                for _ in range(args.n)]
+
+    t0 = time.time()
+    res = pipe.predict(novel(0), params=params, state=state)
+    cold = time.time() - t0
+    warm = []
+    for i in range(1, 4):
+        t0 = time.time()
+        pipe.predict(novel(i), params=params, state=state)
+        warm.append(time.time() - t0)
+    print(json.dumps({
+        "task": args.task, "n_subgraphs": args.n,
+        "setup_s": round(t_setup, 1),
+        "cold_predict_s": round(cold, 2),
+        "warm_predict_s": round(float(np.median(warm)), 2),
+        "warm_ms_per_subgraph": round(float(np.median(warm)) / args.n * 1e3, 1),
+        "pred_shape": list(np.asarray(res["probs"]).shape),
+    }))
+
+
+if __name__ == "__main__":
+    main()
