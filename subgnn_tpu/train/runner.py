@@ -497,18 +497,25 @@ class SubGNNPipeline:
             labels=labels, N_border=border, NP_sim=np_sim,
             I_S_sim=int_s, B_S_sim=bor_s, multilabel=self.multilabel)
 
-        model = SubGNNModel(hp, self.graph.n_nodes, self.num_classes,
-                            self.multilabel)
+        # One jitted forward per PIPELINE (not per call): a fresh closure
+        # every predict() would recompile on every serving request (a full
+        # remote compile over the axon tunnel). anchors/cc_tables travel as
+        # jit ARGUMENTS, never closure constants (closed-over device arrays
+        # embed in the serialized HLO and overflow the axon remote-compile
+        # limit at scale — CLAUDE.md).
+        if not hasattr(self, "_predict_fwd"):
+            model = SubGNNModel(hp, self.graph.n_nodes, self.num_classes,
+                                self.multilabel)
 
-        # anchors/cc_tables travel as jit ARGUMENTS, never closure constants
-        # (closed-over device arrays embed in the serialized HLO and
-        # overflow the axon remote-compile limit at scale — CLAUDE.md)
-        @jax.jit
-        def fwd(params, state, batch, anchors, cc_tables):
-            logits, _ = model.forward(params, state, batch, anchors,
-                                      train=False, rng=None,
-                                      cc_tables=cc_tables)
-            return logits
+            @jax.jit
+            def _fwd(params, state, batch, anchors, cc_tables):
+                logits, _ = model.forward(params, state, batch, anchors,
+                                          train=False, rng=None,
+                                          cc_tables=cc_tables)
+                return logits
+
+            self._predict_fwd = _fwd
+        fwd = self._predict_fwd
 
         out = []
         for batch in data.batches(hp.batch_size, shuffle=False,
