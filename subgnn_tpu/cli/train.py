@@ -54,6 +54,9 @@ def main():
     parser.add_argument("-noTrain", action="store_true",
                         help="skip training; restore and test only")
     parser.add_argument("-subset_data", action="store_true")
+    parser.add_argument("-debug_mode", action="store_true",
+                        help="NaN checking + per-step grad norms "
+                             "(reference train.py:340-351)")
     parser.add_argument("-max_epochs", type=int, default=None)
     parser.add_argument("-seed", type=int, default=None)
     parser.add_argument("-monitor_metric", type=str, default="val_micro_f1")
@@ -72,6 +75,8 @@ def main():
         hyp["seed"] = args.seed
     if args.subset_data:
         hyp["subset_data"] = True
+    if args.debug_mode:
+        hyp["debug_mode"] = True
     if args.noTrain:
         hyp["max_epochs"] = 0
 
