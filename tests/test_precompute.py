@@ -248,3 +248,25 @@ def test_shortest_path_similarities_row_subset(small_graph, rng):
     subset = compute_shortest_path_similarities(rows, lut[cc_ids])
     assert subset.shape == full.shape
     assert np.array_equal(subset, full)
+
+
+def test_dtw_similarity_matrix_multi_chunk(rng):
+    """The on-device pair loop (one dispatch, lax.scan over chunk indices)
+    must agree with the host oracle across chunk boundaries and padding
+    (n_pairs deliberately not divisible by the chunk size)."""
+    n_c, n_a, L = 13, 5, 6   # 65 pairs, chunk=16 -> 5 chunks, 15 pad slots
+    comp = rng.integers(0, 9, (n_c, L)).astype(np.float32)
+    comp_lens = rng.integers(1, L + 1, n_c).astype(np.int32)
+    anch = rng.integers(0, 9, (n_a, L)).astype(np.float32)
+    anch_lens = rng.integers(1, L + 1, n_a).astype(np.int32)
+    for i in range(n_c):
+        comp[i, comp_lens[i]:] = 0
+    for i in range(n_a):
+        anch[i, anch_lens[i]:] = 0
+    sims = dtw_similarity_matrix(comp, comp_lens, anch, anch_lens, chunk=16)
+    assert sims.shape == (n_c, n_a)
+    for i in (0, 7, 12):
+        for j in (0, 4):
+            expect = 1.0 / (dtw_host(comp[i, :comp_lens[i]],
+                                     anch[j, :anch_lens[j]]) + 1.0)
+            assert abs(sims[i, j] - expect) < 1e-5
