@@ -35,6 +35,26 @@ def main():
     import optax
     import __graft_entry__ as ge
 
+    # Watchdog: a wedged TPU tunnel hangs block_until_ready forever
+    # (observed round 2); after 20 min with no completed measurement,
+    # emit an explicit error JSON instead of hanging the caller. Normal
+    # worst case is ~10 min of remote compile, so 20 min is conservative.
+    import os as _os
+    import threading as _threading
+    _done = _threading.Event()
+
+    def _watchdog():
+        if not _done.wait(1200):
+            print(json.dumps({
+                "metric": "mpn_edges_per_s", "value": 0.0,
+                "unit": "edges/s", "vs_baseline": 0.0,
+                "error": "TPU unreachable: no dispatch completed in 20 min "
+                         "(wedged tunnel); see RESULTS.md for the last "
+                         "verified numbers"}), flush=True)
+            _os._exit(3)
+
+    _threading.Thread(target=_watchdog, daemon=True).start()
+
     # production-ish shapes: D=128, 2 layers, all three channels, large
     # serving batch (overhead amortizes with B: 63M edges/s at B=128,
     # 127M at B=512 on v5e)
@@ -127,6 +147,7 @@ def main():
     steps_per_s = iters / dt
     edges_per_s = edges_per_step * steps_per_s
 
+    _done.set()
     print(json.dumps({
         "metric": "mpn_edges_per_s",
         "value": round(edges_per_s, 1),
