@@ -304,7 +304,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     # epochs), and the handful of extra RTTs is negligible.
     if minibatch == "graphsaint":
         @functools.partial(jax.jit, static_argnames=("n_epochs",))
-        def run_chunk(params, opt_state, rng, data, *, n_epochs):
+        def saint_run_chunk(params, opt_state, rng, data, *, n_epochs):
             def epoch_body(carry, _):
                 def step_body(c, _):
                     p, o, r = c
@@ -319,10 +319,10 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                 epoch_body, (params, opt_state, rng), None, length=n_epochs)
             return params, opt_state, losses
 
-        run_data = saint_data
+        run_chunk, run_data = saint_run_chunk, saint_data
     else:
         @functools.partial(jax.jit, static_argnames=("n_epochs",))
-        def run_chunk(params, opt_state, rng, data, *, n_epochs):
+        def full_run_chunk(params, opt_state, rng, data, *, n_epochs):
             def body(carry, _):
                 p, o, r = carry
                 p, o, loss, r = step(p, o, r, data)
@@ -332,7 +332,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                 body, (params, opt_state, rng), None, length=n_epochs)
             return params, opt_state, losses
 
-        run_data = data
+        run_chunk, run_data = full_run_chunk, data
 
     losses_all = []
     for e0 in range(0, epochs, EPOCH_DISPATCH_CHUNK):

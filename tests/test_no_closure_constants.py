@@ -112,8 +112,8 @@ def test_node_emb_steps_have_no_large_closure_constants(monkeypatch):
 
     # the fused drivers are the dispatch boundary (step/saint_step are
     # invoked under their traces, so their recorded args are tracers)
-    assert "full_run" in recorded, sorted(recorded)
-    assert "saint_run" in recorded, sorted(recorded)
+    assert "full_run_chunk" in recorded, sorted(recorded)
+    assert "saint_run_chunk" in recorded, sorted(recorded)
     for name, (fn, args, kwargs) in recorded.items():
         leaves = jax.tree_util.tree_leaves(args)
         if any(isinstance(x, jax.core.Tracer) for x in leaves):
