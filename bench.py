@@ -147,13 +147,14 @@ def main():
     steps_per_s = iters / dt
     edges_per_s = edges_per_step * steps_per_s
 
+    sampler_rate = _bench_device_sampler()   # still watchdog-protected
     _done.set()
     print(json.dumps({
         "metric": "mpn_edges_per_s",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
-        "anchor_patch_samples_per_s": round(_bench_device_sampler(), 1),
+        "anchor_patch_samples_per_s": round(sampler_rate, 1),
         "run_spread": [round(edges_per_step * iters / t, 1) for t in times],
     }))
 

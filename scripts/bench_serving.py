@@ -50,10 +50,8 @@ def main():
     _, params, state, _ = pipe.build_model()
     ckpt = find_best_checkpoint(args.results)
     payload = load_checkpoint(ckpt)
-    params = load_params_filtered(ckpt, params)
+    params = load_params_filtered(ckpt, params, payload=payload)
     state = payload.get("state") or state
-
-    rng = np.random.default_rng(7)
 
     def novel(seed_off):
         r = np.random.default_rng(100 + seed_off)
@@ -62,13 +60,17 @@ def main():
                                 replace=False) + 1)
                 for _ in range(args.n)]
 
+    # fixed CC pad bounds: cc_ids shapes are data-dependent and a shape
+    # change would retrace the jitted forward inside a "warm" call
+    pads = dict(max_n_cc=args.nodes_per_subgraph,
+                max_len_cc=args.nodes_per_subgraph)
     t0 = time.time()
-    res = pipe.predict(novel(0), params=params, state=state)
+    res = pipe.predict(novel(0), params=params, state=state, **pads)
     cold = time.time() - t0
     warm = []
     for i in range(1, 4):
         t0 = time.time()
-        pipe.predict(novel(i), params=params, state=state)
+        pipe.predict(novel(i), params=params, state=state, **pads)
         warm.append(time.time() - t0)
     print(json.dumps({
         "task": args.task, "n_subgraphs": args.n,

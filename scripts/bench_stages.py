@@ -105,13 +105,15 @@ def build(hp_overrides=None):
 
 
 def _perturbed(batch, i):
-    """Copy of batch with a per-iteration dependence (defeats hoisting)."""
+    """Copy of batch with a per-iteration dependence on EVERY similarity
+    input (defeats hoisting of any single channel — with only one key
+    perturbed, XLA can hoist the other channels' MPNs out of the loop)."""
     import jax.numpy as jnp
     b = dict(batch)
-    for key in ("NP_sim", "neigh_sims", "pos_in_sims", "I_S_sim"):
+    for key in ("NP_sim", "neigh_sims", "pos_in_sims", "pos_out_sims",
+                "I_S_sim", "B_S_sim"):
         if key in b and b[key] is not None:
             b[key] = b[key] + i.astype(jnp.float32) * 1e-30
-            break
     return b
 
 

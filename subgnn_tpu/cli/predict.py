@@ -65,7 +65,7 @@ def run_predict(task: str, project_root: str, restore_path: str,
     ckpt = Path(checkpoint) if checkpoint else find_best_checkpoint(restore)
     payload = load_checkpoint(ckpt)
     from ..train.checkpoint import load_params_filtered
-    params = load_params_filtered(ckpt, params)
+    params = load_params_filtered(ckpt, params, payload=payload)
     state = payload.get("state") or state
     if log_fn:
         log_fn(f"restored {ckpt.name}; predicting {len(node_lists)} "

@@ -77,6 +77,24 @@ def dtw_distance_batch(a: jnp.ndarray, la: jnp.ndarray,
     return jnp.where((la == 0) | (lb == 0), 0.0, ans)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("kernel", "chunk", "na", "n_pairs"))
+def _all_chunks(cs, cl, asq, al, *, kernel, chunk, na, n_pairs):
+    """One dispatch for every (comp, anchor) DTW pair: lax.scan over chunk
+    indices with device-resident sequences. MODULE-level jit so repeated
+    same-shape calls (per-split sims, serving predicts) hit the trace
+    cache instead of recompiling a fresh closure each call."""
+    n_chunks = -(-n_pairs // chunk)
+
+    def one_chunk(_, start):
+        p = jnp.clip(start * chunk + jnp.arange(chunk), 0, n_pairs - 1)
+        ic, ia = p // na, p % na
+        return None, kernel(cs[ic], cl[ic], asq[ia], al[ia])
+
+    _, d = jax.lax.scan(one_chunk, None, jnp.arange(n_chunks))
+    return d.reshape(-1)[:n_pairs]
+
+
 def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
                           anchor_seqs: np.ndarray, anchor_lens: np.ndarray,
                           chunk: int = 8192, mesh=None) -> np.ndarray:
@@ -107,24 +125,11 @@ def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
         # transfer per 8192 pairs — over the axon tunnel (28ms-1s RTT)
         # that made EM-USER-scale structure precompute dispatch-bound
         # (203s measured at 1600 subgraphs; ~the device compute is <1s).
-        n_chunks = -(-n_pairs // chunk)
-
-        @functools.partial(jax.jit, static_argnames=("chunk", "na",
-                                                     "n_pairs"))
-        def all_chunks(cs, cl, asq, al, *, chunk, na, n_pairs):
-            def one_chunk(_, start):
-                p = jnp.clip(start * chunk + jnp.arange(chunk), 0,
-                             n_pairs - 1)
-                ic, ia = p // na, p % na
-                return None, kernel(cs[ic], cl[ic], asq[ia], al[ia])
-
-            _, d = jax.lax.scan(one_chunk, None, jnp.arange(n_chunks))
-            return d.reshape(-1)[:n_pairs]
-
-        out = np.asarray(all_chunks(
+        out = np.asarray(_all_chunks(
             jnp.asarray(comp_seqs), jnp.asarray(comp_lens),
             jnp.asarray(anchor_seqs), jnp.asarray(anchor_lens),
-            chunk=chunk, na=na, n_pairs=n_pairs), dtype=np.float32)
+            kernel=kernel, chunk=chunk, na=na, n_pairs=n_pairs),
+            dtype=np.float32)
         return (1.0 / (out + 1.0)).reshape(nc, na)
 
     # Mesh path: host chunk loop with the pair axis of each chunk sharded

@@ -168,9 +168,12 @@ def shortest_path_rows(graph: CSRGraph, sources: np.ndarray,
     n^2 matrix (13 GB) entirely."""
     sources = np.ascontiguousarray(sources, dtype=np.int64)
     from ..ops import native
-    if backend == "auto":
-        backend = "host"
-    if backend == "host" and native.is_available():
+    if backend not in ("auto", "host", "fallback"):
+        raise ValueError(
+            f"shortest_path_rows backend={backend!r}: only 'auto', 'host' "
+            "(C++ threads) and 'fallback' (NumPy) exist — there is no "
+            "device variant for source subsets")
+    if backend in ("auto", "host") and native.is_available():
         return native.bfs_from_sources(graph, sources)
     return _bfs_from_sources_host(graph, sources)
 

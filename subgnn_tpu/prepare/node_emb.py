@@ -337,9 +337,12 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     losses_all = []
     for e0 in range(0, epochs, EPOCH_DISPATCH_CHUNK):
         n_ep = min(EPOCH_DISPATCH_CHUNK, epochs - e0)
+        # chunk 0 uses `key` itself so runs with epochs <= CHUNK are
+        # bit-identical to the unchunked pre-change trainer; later chunks
+        # get disjoint folded streams
+        rng = key if e0 == 0 else jax.random.fold_in(key, e0)
         params, opt_state, losses = run_chunk(
-            params, opt_state, jax.random.fold_in(key, e0), run_data,
-            n_epochs=n_ep)
+            params, opt_state, rng, run_data, n_epochs=n_ep)
         losses_all.append(np.asarray(losses))
     losses = (np.concatenate(losses_all) if losses_all
               else np.zeros(0, np.float32))

@@ -38,11 +38,14 @@ def load_checkpoint(path: str | Path):
         return pickle.load(f)
 
 
-def load_params_filtered(path: str | Path, current_params):
+def load_params_filtered(path: str | Path, current_params, payload=None):
     """Restore, keeping only leaves whose path exists in current_params —
     the reference's filtered state_dict intersection load
-    (reference: SubGNN/train.py:264-273,398-408)."""
-    payload = load_checkpoint(path)
+    (reference: SubGNN/train.py:264-273,398-408). Pass `payload` (an
+    already-load_checkpoint'ed dict) to avoid re-reading the file when the
+    caller also needs state/opt_state."""
+    if payload is None:
+        payload = load_checkpoint(path)
     saved = payload["params"]
 
     def merge(cur, sav):

@@ -406,7 +406,9 @@ class SubGNNPipeline:
 
     def predict(self, node_lists, params=None, state=None,
                 seed: Optional[int] = None,
-                anchors: Optional[Dict[str, Any]] = None):
+                anchors: Optional[Dict[str, Any]] = None,
+                max_n_cc: Optional[int] = None,
+                max_len_cc: Optional[int] = None):
         """Classify NEW subgraphs of the loaded base graph (serving path —
         a capability the reference lacks: its eval only covers the
         pre-split dataset, SubGNN/test.py).
@@ -439,7 +441,13 @@ class SubGNNPipeline:
         seed = hp.seed if seed is None else seed
         PREDICT_TAG = 3  # fresh RNG stream, disjoint from SPLIT_TAG
 
-        cc_ids = initialize_cc_ids(self.graph, node_lists)       # (N, C, L)
+        # max_n_cc/max_len_cc pin the padded CC shape: the jitted forward
+        # retraces (a multi-minute remote compile over the axon tunnel) on
+        # every NEW (C, L), which is data-dependent — a steady serving
+        # deployment should pass fixed bounds
+        cc_ids = initialize_cc_ids(self.graph, node_lists,
+                                   max_n_cc=max_n_cc,
+                                   max_len_cc=max_len_cc)         # (N, C, L)
         n = len(node_lists)
 
         border = None
