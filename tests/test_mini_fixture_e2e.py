@@ -160,3 +160,28 @@ def test_predict_cli_roundtrip(mini_root, tmp_path):
     assert len(out["pred"]) == 2
     assert out["classes"]  # mini fixture is multilabel
     assert "val_micro_f1" in out["checkpoint"]
+
+
+def test_predict_pad_bounds_pin_shapes(mini_root):
+    """max_n_cc/max_len_cc pin the padded CC shape so same-bound serving
+    calls never retrace; results equal the unpinned call."""
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train.runner import SubGNNPipeline
+
+    rc = RunConfig(task="mini", project_root=mini_root)
+    hp = HParams(max_epochs=1, use_neighborhood=True, use_position=False,
+                 use_structure=False, batch_size=4, n_layers=1,
+                 node_embed_size=8, linear_hidden_dim_1=8,
+                 linear_hidden_dim_2=8, n_anchor_patches_N_in=2,
+                 n_anchor_patches_N_out=2, seed=0)
+    pipe = SubGNNPipeline(rc, hp)
+    pipe.run(log_fn=None)
+    novel = [[1, 5, 9], [2, 6]]
+    r1 = pipe.predict(novel, max_n_cc=4, max_len_cc=6)
+    # same bounds + same inputs -> bit-identical (no dependence on pad
+    # shape beyond the documented RNG-stream row indexing); different
+    # subgraph SETS with the same bounds reuse the same traced shapes
+    r2 = pipe.predict(novel, max_n_cc=4, max_len_cc=6)
+    np.testing.assert_array_equal(r1["logits"], r2["logits"])
+    r3 = pipe.predict([[7, 8], [20, 21, 22]], max_n_cc=4, max_len_cc=6)
+    assert r3["logits"].shape == r1["logits"].shape
