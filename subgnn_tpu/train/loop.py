@@ -124,7 +124,11 @@ class Trainer:
             loss = model.loss_fn(logits, batch["label"], batch["valid"])
             return loss, logits
 
-        self._train_step = jax.jit(train_step)
+        # donate (params, opt_state, state): the Adam update rewrites every
+        # leaf, so XLA aliases the outputs onto the input buffers — no
+        # per-step copy of the table + moments (fit() copies the caller's
+        # pytrees once up front, so donation never invalidates caller state)
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step, static_argnames=())
 
     # ---------------------------------------------------------------- mesh
@@ -247,7 +251,10 @@ class Trainer:
                                                (order, valid, extras))
             return losses, logits
 
-        self._fused_train_epoch = jax.jit(train_epoch)
+        # donate the scan carry (params, opt_state, state) — same aliasing
+        # as the streaming step, once per epoch dispatch
+        self._fused_train_epoch = jax.jit(train_epoch,
+                                          donate_argnums=(0, 1, 2))
         self._fused_eval_epoch = jax.jit(eval_epoch)
         self._fused_train_arrays = train_arrays
         self._fused_val_arrays = val_arrays
@@ -355,8 +362,17 @@ class Trainer:
             metrics_callback: Optional[Callable[[int, Dict[str, Any]], None]] = None,
             profile_dir: Optional[str] = None) -> Dict[str, Any]:
         hp = self.hp
-        self.params, self.state = params, state
-        self.opt_state = self.tx.init(params)
+        # Defensive device copy: the train-step jits donate (params,
+        # opt_state, state) so Adam updates write in place (the embedding
+        # table + both moments are the largest persistent buffers). One
+        # copy here keeps the CALLER's pytrees alive — fit(params, ...)
+        # may be called again with the same arrays (multi-config
+        # equivalence tests, HPO re-fits).
+        copy_tree = lambda t: jax.tree_util.tree_map(
+            lambda x: None if x is None else jnp.array(x, copy=True), t,
+            is_leaf=lambda x: x is None)
+        self.params, self.state = copy_tree(params), copy_tree(state)
+        self.opt_state = self.tx.init(self.params)
         if getattr(self, "_resume", None) is not None:
             r = self._resume
             self.params = jax.tree_util.tree_map(jnp.asarray, r["params"])
