@@ -127,7 +127,8 @@ def _bfs_device(graph: CSRGraph, chunk: int = 256, mesh=None) -> np.ndarray:
 
 
 def shortest_path_matrix(graph: CSRGraph, backend: str = "auto",
-                         mesh=None, partition: str = "sources") -> np.ndarray:
+                         mesh=None, partition: str = "sources",
+                         n_threads: int = 0) -> np.ndarray:
     """Dense (n, n) all-pairs hop-distance matrix over RAW 0-based ids.
 
     backend: 'host' | 'device' | 'auto' (device for n <= 4096).
@@ -136,6 +137,9 @@ def shortest_path_matrix(graph: CSRGraph, backend: str = "auto",
     adjacency (no collectives), 'graph' edge-partitions the adjacency
     itself with an all-gather frontier exchange per level
     (parallel/partition.py) — use it when the graph exceeds one device.
+    n_threads caps the C++ host kernel's thread pool (0 = all hardware
+    threads) — the hp.n_processes knob, reference SubGNN's
+    multiprocessing pool size (precompute_graph_metrics.py:66).
     """
     n = graph.n_nodes
     from ..ops import native
@@ -152,13 +156,14 @@ def shortest_path_matrix(graph: CSRGraph, backend: str = "auto",
     if backend == "device":
         return _bfs_device(graph)
     if native.is_available():
-        return native.bfs_all_pairs(graph)
+        return native.bfs_all_pairs(graph, n_threads=n_threads)
     sources = np.arange(1, n + 1, dtype=np.int64)
     return _bfs_from_sources_host(graph, sources)
 
 
 def shortest_path_rows(graph: CSRGraph, sources: np.ndarray,
-                       backend: str = "auto") -> np.ndarray:
+                       backend: str = "auto",
+                       n_threads: int = 0) -> np.ndarray:
     """(len(sources), n) int32 hop distances from each 1-based source node
     (unreached = 0) — the subset-of-sources counterpart to
     shortest_path_matrix. The N/P similarity precompute only needs
@@ -174,7 +179,7 @@ def shortest_path_rows(graph: CSRGraph, sources: np.ndarray,
             "(C++ threads) and 'fallback' (NumPy) exist — there is no "
             "device variant for source subsets")
     if backend in ("auto", "host") and native.is_available():
-        return native.bfs_from_sources(graph, sources)
+        return native.bfs_from_sources(graph, sources, n_threads=n_threads)
     return _bfs_from_sources_host(graph, sources)
 
 

@@ -178,12 +178,14 @@ class SubGNNPipeline:
                         srcs = np.unique(np.concatenate(
                             [self.cc_ids[s].ravel() for s in SPLITS]))
                         srcs = srcs[srcs != PAD_VALUE].astype(np.int64)
-                        rows = shortest_path_rows(self.graph, srcs)
+                        rows = shortest_path_rows(self.graph, srcs,
+                                                  n_threads=hp.n_processes)
                         lut = np.zeros(self.graph.n_nodes + 1, np.int32)
                         lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
                         shortest = (rows, lut)
                     else:
-                        mat = shortest_path_matrix(self.graph)
+                        mat = shortest_path_matrix(self.graph,
+                                                   n_threads=hp.n_processes)
                         np.save(rc.shortest_paths_path(), mat)
                         shortest = (mat, None)
                 return shortest
@@ -458,7 +460,8 @@ class SubGNNPipeline:
         if hp.use_neighborhood or hp.use_position:
             srcs = np.unique(cc_ids.ravel())
             srcs = srcs[srcs != PAD_VALUE].astype(np.int64)
-            rows = shortest_path_rows(self.graph, srcs)
+            rows = shortest_path_rows(self.graph, srcs,
+                                      n_threads=hp.n_processes)
             lut = np.zeros(self.graph.n_nodes + 1, np.int32)
             lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
             np_sim = compute_shortest_path_similarities(rows, lut[cc_ids])
