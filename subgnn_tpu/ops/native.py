@@ -46,7 +46,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if not _LIB_PATH.exists() or (_SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime):
         if not _build():
-            return None
+            if not _LIB_PATH.exists():
+                return None
+            # the rebuild failed (no g++ / timeout) but a previously built
+            # library exists: a possibly-stale fast kernel beats silently
+            # dropping to the pure-NumPy BFS at 57k-node scale
+            import warnings
+            warnings.warn("subgnn_native rebuild failed; loading the "
+                          "existing (possibly stale) libsubgnn_native.so")
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:

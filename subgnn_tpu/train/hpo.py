@@ -113,7 +113,9 @@ class Trial:
             return self._record(name, float(math.exp(
                 self.rng.uniform(math.log(low), math.log(high)))))
         if step:
-            n = int((high - low) / step)
+            # round, not truncate: (0.5-0.1)/0.1 floats to 3.9999…, and
+            # int() would silently drop `high` from the search space
+            n = int(round((high - low) / step))
             return self._record(name, low + step * int(self.rng.integers(n + 1)))
         return self._record(name, float(self.rng.uniform(low, high)))
 

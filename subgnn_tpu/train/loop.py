@@ -127,8 +127,12 @@ class Trainer:
         # donate (params, opt_state, state): the Adam update rewrites every
         # leaf, so XLA aliases the outputs onto the input buffers — no
         # per-step copy of the table + moments (fit() copies the caller's
-        # pytrees once up front, so donation never invalidates caller state)
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        # pytrees once up front, so donation never invalidates caller state).
+        # debug_mode keeps the buffers: jax_debug_nans re-executes the step
+        # eagerly with the ORIGINAL arguments to localize a NaN, which
+        # donated (deleted) buffers would turn into a RuntimeError.
+        donate = () if hp.debug_mode else (0, 1, 2)
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step, static_argnames=())
 
     # ---------------------------------------------------------------- mesh
@@ -373,6 +377,11 @@ class Trainer:
             is_leaf=lambda x: x is None)
         self.params, self.state = copy_tree(params), copy_tree(state)
         self.opt_state = self.tx.init(self.params)
+        # own the dict: per-epoch anchor resampling updates it in place, and
+        # that must never leak into the caller's test-split anchors (the
+        # reference samples test anchors independently at test time,
+        # SubGNN.py prepare_test_data) — with or without a mesh
+        anchors_by_split = dict(anchors_by_split)
         if getattr(self, "_resume", None) is not None:
             r = self._resume
             self.params = jax.tree_util.tree_map(jnp.asarray, r["params"])
@@ -466,9 +475,17 @@ class Trainer:
                 return ve
 
             val_extras = make_val_extras()
-            val_cc_tables = None
-            if hp.trainable_cc:
-                val_cc_tables = self.eval_cc_tables.get("val")
+
+            def val_cc_tables():
+                # same fallback as streaming evaluate(): the train split's
+                # learned tables, so fused/streaming mode selection cannot
+                # change val semantics when eval_cc_tables lacks the split.
+                # Resolved per epoch — the train_cc fallback must track the
+                # CURRENT params (the pre-epoch subtree is donated/stale).
+                if not hp.trainable_cc:
+                    return None
+                return self.eval_cc_tables.get(
+                    "val", self.params.get("train_cc"))
 
         edges_per_step = mpn_edges_per_step(hp, hp.batch_size,
                                             train_data.cc_ids.shape[1])
@@ -551,19 +568,27 @@ class Trainer:
             if fused:
                 v_losses, v_logits = self._fused_eval_epoch(
                     self.params, self.state, val_order, val_valid,
-                    val_cc_tables, val_extras, anchors_by_split["val"],
+                    val_cc_tables(), val_extras, anchors_by_split["val"],
                     self._fused_val_arrays)
                 v_logits = np.asarray(v_logits)
                 v_valid = np.asarray(val_valid)
                 flat_logits = v_logits.reshape(-1, v_logits.shape[-1])[
                     v_valid.reshape(-1)]
                 labels_np = np.asarray(val_data.labels)
-                flat_labels = labels_np[np.asarray(val_order).reshape(-1)[
+                order_np = np.asarray(val_order)
+                flat_labels = labels_np[order_np.reshape(-1)[
                     v_valid.reshape(-1)]]
-                accs = [M.calc_accuracy(flat_logits, flat_labels,
-                                        self.model.multilabel)]
-                f1s = [M.calc_f1(flat_logits, flat_labels, "macro",
-                                 self.model.multilabel)]
+                # per-BATCH acc/macro-F1 means, exactly like the streaming
+                # evaluate() loop and the reference's epoch-end aggregation
+                # (SubGNN.py:408-464) — macro-F1 is non-linear, so a
+                # whole-split value would differ from the per-batch mean
+                accs, f1s = [], []
+                for i in range(v_logits.shape[0]):
+                    m = v_valid[i]
+                    lg, lb = v_logits[i][m], labels_np[order_np[i][m]]
+                    accs.append(M.calc_accuracy(lg, lb, self.model.multilabel))
+                    f1s.append(M.calc_f1(lg, lb, "macro",
+                                         self.model.multilabel))
                 val_metrics = self._metrics(
                     "val", flat_logits, flat_labels,
                     list(np.asarray(v_losses, np.float64)), accs, f1s)
@@ -640,6 +665,11 @@ class Trainer:
                 return model.loss_fn(logits, batch["label"], batch["valid"])
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            if hp.freeze_node_embeds:
+                # match make_optimizer's mask: sweeping the LR with the
+                # (large) frozen table trainable would bias the suggestion
+                grads = dict(grads)
+                grads["node_embed"] = jnp.zeros_like(grads["node_embed"])
             opt_state[-1].hyperparams["learning_rate"] = lr  # injected lr
             updates, new_opt = sched_tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt, loss

@@ -30,8 +30,8 @@ from ..sampling.anchors import (
     init_anchors_neighborhood, init_anchors_pos_int, init_anchors_pos_ext,
     init_anchors_structure)
 from ..models.subgnn import SubGNNModel, CHANNEL_CC_KEYS
-from .loop import Trainer
-from .checkpoint import dump_json, load_params_filtered
+from .loop import Trainer, make_optimizer
+from .checkpoint import dump_json, load_checkpoint, load_params_filtered
 
 SPLITS = ("train", "val", "test")
 SPLIT_TAG = {"train": 0, "val": 1, "test": 2}
@@ -347,7 +347,13 @@ class SubGNNPipeline:
         anchors = self.sample_anchors(seed)
         model, params, state, eval_cc = self.build_model(seed)
         if restore_path:
-            params = load_params_filtered(restore_path, params)
+            payload = load_checkpoint(restore_path)
+            params = load_params_filtered(restore_path, params,
+                                          payload=payload)
+            # the checkpoint's model state (batch-norm running stats) must
+            # travel with the weights it was trained with
+            if payload.get("state") is not None:
+                state = payload["state"]
 
         ckpt_dir = self.results_dir / "checkpoints" if self.results_dir else None
         tb_dir = self.results_dir / "tb" if self.results_dir else None
@@ -364,7 +370,7 @@ class SubGNNPipeline:
                 log_fn(f"auto_lr_find: {hp.learning_rate:.2e} -> {found:.2e}")
             self.hp = hp = hp.replace(learning_rate=found)
             trainer.hp = hp
-            trainer.tx = Trainer(model, hp).tx  # rebuild optimizer with found lr
+            trainer.tx = make_optimizer(hp)  # rebuild with the found lr
 
         on_epoch_end = None
         if hp.resample_anchor_patches:
@@ -390,10 +396,17 @@ class SubGNNPipeline:
             dump_json(self.results_dir / "final_metric_scores.json",
                       {k: v for k, v in trainer.metric_scores[-1].items()})
 
-        # test with the best checkpoint (reference: train.py:389-409)
+        # test with the best checkpoint (reference: train.py:389-409);
+        # restore its model state too, so batch-norm running stats match
+        # the restored weights rather than the last epoch's
         if trainer.ckpt and trainer.ckpt.best_path:
+            payload = load_checkpoint(trainer.ckpt.best_path)
             trainer.params = load_params_filtered(trainer.ckpt.best_path,
-                                                  trainer.params)
+                                                  trainer.params,
+                                                  payload=payload)
+            if payload.get("state") is not None:
+                trainer.state = jax.tree_util.tree_map(
+                    jnp.asarray, payload["state"])
         test_metrics = trainer.evaluate(self.split_data("test"),
                                         anchors["test"], "test")
         if self.results_dir:
@@ -439,6 +452,11 @@ class SubGNNPipeline:
             assert trainer is not None, "run() first or pass params/state"
             params, state = trainer.params, trainer.state
         if state is None:
+            # state only carries batch-norm running stats; a silent {} would
+            # KeyError inside the jitted forward for batch_norm configs
+            assert not hp.batch_norm, (
+                "hp.batch_norm models carry running stats: pass the "
+                "checkpoint's `state` alongside `params`")
             state = {}
         seed = hp.seed if seed is None else seed
         PREDICT_TAG = 3  # fresh RNG stream, disjoint from SPLIT_TAG

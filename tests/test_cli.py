@@ -214,3 +214,15 @@ def test_graphsaint_embedding_path(tmp_path):
     assert rc.embedding_path("gin").name == "gin_embeddings.pth"
     with pytest.raises(NotImplementedError):
         rc.embedding_path("word2vec")
+
+
+def test_suggest_float_step_includes_high():
+    """(high-low)/step floats to 3.9999…; truncation would silently drop
+    the high endpoint from the random sampler's space (review round-2 fix)."""
+    from subgnn_tpu.train.hpo import Trial
+    seen = set()
+    for i in range(200):
+        t = Trial(np.random.default_rng(i))
+        seen.add(round(t.suggest_float("x", 0.1, 0.5, step=0.1), 6))
+    assert round(0.5, 6) in seen, sorted(seen)
+    assert seen <= {0.1, 0.2, 0.3, 0.4, 0.5}, sorted(seen)

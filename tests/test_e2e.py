@@ -267,3 +267,29 @@ def test_node_emb_plot_artifacts(density_dataset, tmp_path):
                           epochs=4, seed=0, plots_dir=tmp_path)
     assert (tmp_path / "gin_loss_curve.png").exists()
     assert (tmp_path / "gin_roc_curve.png").exists()
+
+
+def test_batch_norm_best_state_restored(density_dataset, tmp_path):
+    """Test-time eval must use the BEST checkpoint's batch-norm running
+    stats, not the last epoch's (review round-2 fix): after run(), the
+    trainer's state equals the best checkpoint's saved state."""
+    import jax.tree_util as jtu
+    from subgnn_tpu.train.checkpoint import load_checkpoint
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(
+        use_neighborhood=True, use_structure=False, use_position=False,
+        n_layers=1, max_epochs=4, batch_size=16, learning_rate=3e-3,
+        n_anchor_patches_N_in=3, n_anchor_patches_N_out=4,
+        batch_norm=True, linear_hidden_dim_1=16, linear_hidden_dim_2=8,
+        seed=0, embedding_type="gin")
+    pipe = SubGNNPipeline(rc, hp, results_dir=tmp_path)
+    pipe.run(log_fn=None)
+    best = pipe.trainer.ckpt.best_path
+    assert best is not None
+    saved_state = load_checkpoint(best)["state"]
+    got = jtu.tree_leaves(pipe.trainer.state)
+    want = jtu.tree_leaves(saved_state)
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)

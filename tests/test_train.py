@@ -364,3 +364,39 @@ def test_compact_default_on_in_fused_mode(rng):
     t2.fit(params, state, data, data, {"train": anchors, "val": anchors},
            seed=0, log_fn=None)
     assert t2.compact_sims is False  # tiny NP_sim, streaming -> resident
+
+
+def test_fit_owns_the_anchors_dict(rng):
+    """Per-epoch anchor resampling must not leak into the caller's dict —
+    the reference samples test anchors independently at test time
+    (SubGNN.py prepare_test_data), so run()'s final test eval has to see
+    the ORIGINAL anchors regardless of mesh shape (review round-2 fix)."""
+    from tests.test_models import build_toy, HP
+    hp = HP.replace(max_epochs=3, batch_size=6,
+                    resample_anchor_patches=True)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    from subgnn_tpu.data.dataset import SubgraphData
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    caller = {"train": anchors, "val": anchors}
+    resampled = []
+
+    def on_epoch_end(epoch):
+        # hand back DISTINCT anchor objects (same arrays, new containers)
+        new = {"train": dict(anchors), "val": dict(anchors)}
+        resampled.append(new)
+        return new
+
+    trainer = Trainer(model, hp)
+    trainer.fit(params, state, data, data, caller, seed=0,
+                on_epoch_end=on_epoch_end, log_fn=None)
+    assert resampled, "on_epoch_end never ran"
+    # the caller's dict still maps to the ORIGINAL anchors objects —
+    # fit() must update its own copy, not the caller's
+    assert caller["train"] is anchors and caller["val"] is anchors
