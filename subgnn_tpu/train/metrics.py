@@ -63,6 +63,14 @@ def calc_accuracy(logits, labels, multilabel: bool = False) -> float:
     return float((logits.argmax(axis=-1) == labels).mean())
 
 
+def _mean_defined(vals) -> float:
+    """Mean over the non-nan entries (nan = class absent from the split);
+    nan when every class is degenerate — nanmean's semantics without its
+    mean-of-empty-slice RuntimeWarning."""
+    finite = [v for v in vals if not np.isnan(v)]
+    return float(np.mean(finite)) if finite else float("nan")
+
+
 def binary_auc(y_true, y_score) -> float:
     """Rank-based (Mann-Whitney) ROC AUC with tie handling."""
     y_true = np.asarray(y_true).astype(bool)
@@ -109,7 +117,7 @@ def roc_auc_ovr(logits, labels, multilabel: bool = False):
     if multilabel:
         probs = _sigmoid(logits)
         per_class = [binary_auc(labels[:, c], probs[:, c]) for c in range(C)]
-        overall = float(np.nanmean(per_class))
+        overall = _mean_defined(per_class)
         return overall, per_class
     probs = _softmax(logits)
     n_unique = len(np.unique(labels))
@@ -117,6 +125,6 @@ def roc_auc_ovr(logits, labels, multilabel: bool = False):
         overall = binary_auc(labels == 1, probs[:, 1])
     else:
         aucs = [binary_auc(labels == c, probs[:, c]) for c in range(C)]
-        overall = float(np.nanmean(aucs))
+        overall = _mean_defined(aucs)
     per_class = [binary_auc(labels == c, logits[:, c]) for c in range(C)]
     return overall, per_class
