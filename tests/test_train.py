@@ -400,3 +400,38 @@ def test_fit_owns_the_anchors_dict(rng):
     # the caller's dict still maps to the ORIGINAL anchors objects —
     # fit() must update its own copy, not the caller's
     assert caller["train"] is anchors and caller["val"] is anchors
+
+
+def test_fused_val_metrics_match_streaming_ragged(rng, monkeypatch):
+    """Fused eval aggregates per-BATCH acc/macro-F1 means exactly like the
+    streaming evaluate() loop, including a ragged final val batch (review
+    round-2 fix: the whole-split macro-F1 differed from the per-batch
+    mean, so mode selection could change 'avg_macro_f1')."""
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(max_epochs=2, batch_size=4)  # 6 subgraphs -> 4 + 2
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    t_fused = Trainer(model, hp)
+    t_fused.fit(params, state, data, data, {"train": anchors, "val": anchors},
+                seed=0, log_fn=None)
+    assert hasattr(t_fused, "_fused_train_epoch")
+
+    t_stream = Trainer(model, hp)
+    monkeypatch.setattr(Trainer, "_split_bytes",
+                        staticmethod(lambda d: 1 << 40))
+    t_stream.fit(params, state, data, data,
+                 {"train": anchors, "val": anchors}, seed=0, log_fn=None)
+    assert not hasattr(t_stream, "_fused_train_epoch")
+
+    for mf, ms in zip(t_fused.metric_scores, t_stream.metric_scores):
+        for k in ("val_loss", "val_micro_f1", "val_acc", "avg_val_acc",
+                  "avg_macro_f1", "val_auroc"):
+            np.testing.assert_allclose(mf[k], ms[k], atol=1e-5, err_msg=k)
