@@ -60,6 +60,16 @@ def main():
     parser.add_argument("-max_epochs", type=int, default=None)
     parser.add_argument("-seed", type=int, default=None)
     parser.add_argument("-monitor_metric", type=str, default="val_micro_f1")
+    parser.add_argument("-checkpoint_k", type=int, default=3,
+                        help="top-k checkpoints to keep (reference "
+                             "train.py:76)")
+    parser.add_argument("-no_checkpointing", action="store_true")
+    # per-file path overrides (reference train.py:52-56)
+    parser.add_argument("-graph_path", type=str, default=None)
+    parser.add_argument("-subgraphs_path", type=str, default=None)
+    parser.add_argument("-shortest_paths_path", type=str, default=None)
+    parser.add_argument("-similarities_path", type=str, default=None)
+    parser.add_argument("-embedding_path", type=str, default=None)
     args = parser.parse_args()
 
     hyp = default_hyperparams()
@@ -82,13 +92,20 @@ def main():
 
     rc = RunConfig(task=args.task, project_root=Path(args.project_root),
                    tb_dir=args.tb_dir, tb_name=args.tb_name,
-                   monitor_metric=args.monitor_metric)
+                   monitor_metric=args.monitor_metric,
+                   graph_path_override=args.graph_path,
+                   subgraphs_path_override=args.subgraphs_path,
+                   shortest_paths_path_override=args.shortest_paths_path,
+                   similarities_path_override=args.similarities_path,
+                   embedding_path_override=args.embedding_path)
     results_dir = Path(args.project_root) / args.tb_dir / args.tb_name
     restore = None
     if args.restoreModelPath and args.restoreModelName:
         restore = Path(args.restoreModelPath) / args.restoreModelName
 
-    pipe = SubGNNPipeline(rc, HParams.from_dict(hyp), results_dir=results_dir)
+    pipe = SubGNNPipeline(rc, HParams.from_dict(hyp), results_dir=results_dir,
+                          checkpoint_k=(0 if args.no_checkpointing
+                                        else args.checkpoint_k))
     out = pipe.run(restore_path=restore)
     print(json.dumps({"test": out["test"],
                       "best_monitor": out["best_monitor"]}, default=float))

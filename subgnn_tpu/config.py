@@ -157,6 +157,13 @@ class RunConfig:
     hyperparams_fix: Dict[str, Any] = dataclasses.field(default_factory=dict)
     hyperparams_optuna: Dict[str, Any] = dataclasses.field(default_factory=dict)
     no_gpu: bool = False
+    # optional per-file overrides of the <project_root>/<task>/ layout
+    # (reference train.py:52-56 exposes each path as its own flag)
+    graph_path_override: Optional[Path] = None
+    subgraphs_path_override: Optional[Path] = None
+    shortest_paths_path_override: Optional[Path] = None
+    similarities_path_override: Optional[Path] = None
+    embedding_path_override: Optional[Path] = None
 
     @classmethod
     def from_json(cls, path: str | Path) -> "RunConfig":
@@ -177,18 +184,22 @@ class RunConfig:
             no_gpu="no_gpu" in raw,
         )
 
-    # dataset file layout (reference: SubGNN/train_config.py:216-231)
+    # dataset file layout (reference: SubGNN/train_config.py:216-231),
+    # each overridable per file (reference: SubGNN/train.py:52-56)
     def data_dir(self) -> Path:
         return Path(self.project_root) / self.task
 
     def graph_path(self) -> Path:
-        return self.data_dir() / "edge_list.txt"
+        return Path(self.graph_path_override or
+                    self.data_dir() / "edge_list.txt")
 
     def subgraphs_path(self) -> Path:
-        return self.data_dir() / "subgraphs.pth"
+        return Path(self.subgraphs_path_override or
+                    self.data_dir() / "subgraphs.pth")
 
     def shortest_paths_path(self) -> Path:
-        return self.data_dir() / "shortest_path_matrix.npy"
+        return Path(self.shortest_paths_path_override or
+                    self.data_dir() / "shortest_path_matrix.npy")
 
     def degree_sequence_path(self) -> Path:
         return self.data_dir() / "degree_sequence.txt"
@@ -197,9 +208,12 @@ class RunConfig:
         return self.data_dir() / "ego_graphs.txt"
 
     def similarities_path(self) -> Path:
-        return self.data_dir() / "similarities"
+        return Path(self.similarities_path_override or
+                    self.data_dir() / "similarities")
 
     def embedding_path(self, embedding_type: str) -> Path:
+        if self.embedding_path_override:
+            return Path(self.embedding_path_override)
         if embedding_type == "gin":
             return self.data_dir() / "gin_embeddings.pth"
         elif embedding_type in ("graphsaint", "graphsaint_gcn"):

@@ -77,11 +77,13 @@ def load_embeddings(path: Path) -> np.ndarray:
 
 class SubGNNPipeline:
     def __init__(self, run_config: RunConfig, hp: HParams,
-                 results_dir: Optional[str | Path] = None):
+                 results_dir: Optional[str | Path] = None,
+                 checkpoint_k: int = 3):
         enable_compilation_cache()
         self.rc = run_config
         self.hp = hp
         self.results_dir = Path(results_dir) if results_dir else None
+        self.checkpoint_k = checkpoint_k  # 0 disables checkpointing
         self._loaded = False
 
     # ------------------------------------------------------------------ load
@@ -355,10 +357,12 @@ class SubGNNPipeline:
             if payload.get("state") is not None:
                 state = payload["state"]
 
-        ckpt_dir = self.results_dir / "checkpoints" if self.results_dir else None
+        ckpt_dir = (self.results_dir / "checkpoints"
+                    if self.results_dir and self.checkpoint_k > 0 else None)
         tb_dir = self.results_dir / "tb" if self.results_dir else None
         trainer = Trainer(model, hp, ckpt_dir=ckpt_dir,
                           monitor=self.rc.monitor_metric,
+                          checkpoint_k=max(self.checkpoint_k, 1),
                           eval_cc_tables=eval_cc, tb_dir=tb_dir, mesh=mesh)
         if self.results_dir:
             dump_json(self.results_dir / "hyperparams.json", hp.to_dict())
