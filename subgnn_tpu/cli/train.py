@@ -64,6 +64,8 @@ def main():
                         help="top-k checkpoints to keep (reference "
                              "train.py:76)")
     parser.add_argument("-no_checkpointing", action="store_true")
+    parser.add_argument("-no_save", action="store_true",
+                        help="write no artifacts (reference train.py:65)")
     # per-file path overrides (reference train.py:52-56)
     parser.add_argument("-graph_path", type=str, default=None)
     parser.add_argument("-subgraphs_path", type=str, default=None)
@@ -98,7 +100,8 @@ def main():
                    shortest_paths_path_override=args.shortest_paths_path,
                    similarities_path_override=args.similarities_path,
                    embedding_path_override=args.embedding_path)
-    results_dir = Path(args.project_root) / args.tb_dir / args.tb_name
+    results_dir = (None if args.no_save
+                   else Path(args.project_root) / args.tb_dir / args.tb_name)
     restore = None
     if args.restoreModelPath and args.restoreModelName:
         restore = Path(args.restoreModelPath) / args.restoreModelName
