@@ -73,7 +73,8 @@ class TopKCheckpoints:
         self.kept: List[Tuple[float, Path]] = []
 
     def maybe_save(self, epoch: int, metrics: Dict[str, float],
-                   params, state=None, opt_state=None) -> bool:
+                   params, state=None, opt_state=None,
+                   global_step: int | None = None) -> bool:
         value = float(metrics.get(self.monitor, float("-inf")))
         key = value if self.mode == "max" else -value
         if len(self.kept) >= self.k and key <= min(v for v, _ in self.kept):
@@ -82,9 +83,11 @@ class TopKCheckpoints:
                  f"-val_acc={metrics.get('val_acc', 0):.2f}"
                  f"-val_auroc={metrics.get('val_auroc', 0):.2f}.ckpt")
         path = self.dir / fname
-        save_checkpoint(path, params, state, opt_state,
-                        meta={"epoch": epoch, **{k: float(v) for k, v in metrics.items()
-                                                 if isinstance(v, (int, float))}})
+        meta = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()
+                                   if isinstance(v, (int, float))}}
+        if global_step is not None:
+            meta["global_step"] = int(global_step)
+        save_checkpoint(path, params, state, opt_state, meta=meta)
         self.kept.append((key, path))
         self.kept.sort(key=lambda t: -t[0])
         while len(self.kept) > self.k:

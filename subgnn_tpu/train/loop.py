@@ -377,6 +377,7 @@ class Trainer:
             is_leaf=lambda x: x is None)
         self.params, self.state = copy_tree(params), copy_tree(state)
         self.opt_state = self.tx.init(self.params)
+        self.global_step = 0  # fresh stream unless a checkpoint restores it
         # own the dict: per-epoch anchor resampling updates it in place, and
         # that must never leak into the caller's test-split anchors (the
         # reference samples test anchors independently at test time,
@@ -391,6 +392,8 @@ class Trainer:
                 self.opt_state = jax.tree_util.tree_map(
                     jnp.asarray, r["opt_state"],
                     is_leaf=lambda x: x is None)
+            # continue the RNG stream where the checkpoint left off
+            self.global_step = int(r["meta"].get("global_step", 0))
             self._resume = None
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
@@ -513,11 +516,20 @@ class Trainer:
                         extras, MX.epoch_extras_pspecs(extras))
             return order, order_dev, extras
 
+        # checkpoint-based restart: skip to start_epoch, consuming the same
+        # per-epoch shuffle draws the uninterrupted run made (one shuffle of
+        # the train order per epoch in both fused and streaming modes —
+        # BEFORE the initial prefetch, which draws start_epoch's order), so
+        # a resumed run continues the exact trajectory (global_step — and
+        # with it the dropout/resample RNG stream — is restored from the
+        # checkpoint meta in resume_from)
+        for _ in range(start_epoch):
+            rng_np.shuffle(np.arange(len(train_data)))
         # anchors feed the plans, so prefetch is only valid while they are
         # fixed across epochs (resampling rebuilds the schedule in-loop)
         prefetch = fused and not hp.resample_anchor_patches
         pending = prep_epoch() if prefetch else None
-        for epoch in range(hp.max_epochs):
+        for epoch in range(start_epoch, hp.max_epochs):
             t0 = time.time()
             if fused:
                 order, order_dev, extras = (pending if pending is not None
@@ -608,7 +620,8 @@ class Trainer:
                 self.tb.add_scalars(val_metrics, epoch)
             if self.ckpt:
                 self.ckpt.maybe_save(epoch, val_metrics, self.params,
-                                     self.state, self.opt_state)
+                                     self.state, self.opt_state,
+                                     global_step=self.global_step)
             if log_fn:
                 log_fn(f"epoch {epoch}: train_loss={val_metrics['train_loss']:.4f} "
                        f"val_micro_f1={val_metrics['val_micro_f1']:.4f} "

@@ -435,3 +435,47 @@ def test_fused_val_metrics_match_streaming_ragged(rng, monkeypatch):
         for k in ("val_loss", "val_micro_f1", "val_acc", "avg_val_acc",
                   "avg_macro_f1", "val_auroc"):
             np.testing.assert_allclose(mf[k], ms[k], atol=1e-5, err_msg=k)
+
+
+def test_resume_reproduces_uninterrupted_run(rng, tmp_path):
+    """Elastic recovery invariance: train 2 epochs, checkpoint, resume for
+    epochs 2-3 — the final params match an uninterrupted 4-epoch run
+    exactly (same shuffle draws via the start_epoch fast-forward, same RNG
+    stream via the restored global_step)."""
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp4 = HP.replace(max_epochs=4, batch_size=3)
+    model, params, state, batch, anchors, _ = build_toy(hp4, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    by_split = {"train": anchors, "val": anchors}
+
+    # uninterrupted 4-epoch run
+    t_full = Trainer(model, hp4)
+    t_full.fit(params, state, data, data, by_split, seed=0, log_fn=None)
+
+    # 2 epochs, manual checkpoint, then resume epochs 2-3
+    t_a = Trainer(model, hp4.replace(max_epochs=2))
+    t_a.fit(params, state, data, data, by_split, seed=0, log_fn=None)
+    ckpt = tmp_path / "mid.ckpt"
+    save_checkpoint(ckpt, t_a.params, t_a.state, t_a.opt_state,
+                    meta={"epoch": 1, "global_step": t_a.global_step})
+    t_b = Trainer(model, hp4)
+    start = t_b.resume_from(ckpt)
+    assert start == 2
+    t_b.fit(params, state, data, data, by_split, seed=0, log_fn=None,
+            start_epoch=start)
+
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(t_full.params),
+            jax.tree_util.tree_leaves_with_path(t_b.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))
+    # and the epoch numbering continued (2 epochs of metrics, ids 2 and 3)
+    assert [m["epoch"] for m in t_b.metric_scores] == [2, 3]
