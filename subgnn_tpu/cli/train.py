@@ -66,6 +66,10 @@ def main():
     parser.add_argument("-no_checkpointing", action="store_true")
     parser.add_argument("-no_save", action="store_true",
                         help="write no artifacts (reference train.py:65)")
+    parser.add_argument("-resume", type=str, default=None,
+                        help="checkpoint file to elastically resume from: "
+                             "continues training at the saved epoch with "
+                             "the exact uninterrupted trajectory")
     # per-file path overrides (reference train.py:52-56)
     parser.add_argument("-graph_path", type=str, default=None)
     parser.add_argument("-subgraphs_path", type=str, default=None)
@@ -109,7 +113,7 @@ def main():
     pipe = SubGNNPipeline(rc, HParams.from_dict(hyp), results_dir=results_dir,
                           checkpoint_k=(0 if args.no_checkpointing
                                         else args.checkpoint_k))
-    out = pipe.run(restore_path=restore)
+    out = pipe.run(restore_path=restore, resume_path=args.resume)
     print(json.dumps({"test": out["test"],
                       "best_monitor": out["best_monitor"]}, default=float))
 

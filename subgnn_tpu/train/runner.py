@@ -337,9 +337,18 @@ class SubGNNPipeline:
 
     def run(self, seed: Optional[int] = None, log_fn=print,
             restore_path: Optional[str | Path] = None,
+            resume_path: Optional[str | Path] = None,
             metrics_callback=None) -> Dict[str, Any]:
         """Full train + test cycle; writes the reference's JSON artifacts
-        (hyperparams.json, final_metric_scores.json, test_results.json)."""
+        (hyperparams.json, final_metric_scores.json, test_results.json).
+
+        restore_path: filtered weight load, then train max_epochs from
+        scratch — the reference's -restoreModelName semantics
+        (train.py:264-273). resume_path: elastic restart — restore
+        params/opt_state/model state AND the epoch/RNG cursor from a
+        checkpoint, then continue to max_epochs reproducing the
+        uninterrupted run exactly (TPU-native extension; the reference has
+        no mid-run recovery, SURVEY §5)."""
         hp = self.hp
         seed = hp.seed if seed is None else seed
         from ..parallel.mesh import mesh_from_hparams
@@ -381,11 +390,18 @@ class SubGNNPipeline:
             def on_epoch_end(epoch):  # noqa: F811
                 return self.sample_anchors(seed + 1000 + epoch)
 
+        start_epoch = 0
+        if resume_path:
+            start_epoch = trainer.resume_from(resume_path)
+            if log_fn:
+                log_fn(f"resuming from {resume_path} at epoch {start_epoch}")
+
         train_data = self.split_data("train")
         val_data = self.split_data("val")
         try:
             trainer.fit(params, state, train_data, val_data, anchors,
                         seed=seed, on_epoch_end=on_epoch_end, log_fn=log_fn,
+                        start_epoch=start_epoch,
                         metrics_callback=metrics_callback)
         except Exception:
             # persist whatever was learned before re-raising (pruned trials
