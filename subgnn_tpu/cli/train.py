@@ -70,6 +70,10 @@ def main():
                         help="checkpoint file to elastically resume from: "
                              "continues training at the saved epoch with "
                              "the exact uninterrupted trajectory")
+    parser.add_argument("-profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of training here "
+                             "(the reference's AdvancedProfiler analog, "
+                             "train.py:345-351)")
     # per-file path overrides (reference train.py:52-56)
     parser.add_argument("-graph_path", type=str, default=None)
     parser.add_argument("-subgraphs_path", type=str, default=None)
@@ -113,7 +117,8 @@ def main():
     pipe = SubGNNPipeline(rc, HParams.from_dict(hyp), results_dir=results_dir,
                           checkpoint_k=(0 if args.no_checkpointing
                                         else args.checkpoint_k))
-    out = pipe.run(restore_path=restore, resume_path=args.resume)
+    out = pipe.run(restore_path=restore, resume_path=args.resume,
+                   profile_dir=args.profile_dir)
     print(json.dumps({"test": out["test"],
                       "best_monitor": out["best_monitor"]}, default=float))
 

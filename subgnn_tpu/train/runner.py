@@ -338,6 +338,7 @@ class SubGNNPipeline:
     def run(self, seed: Optional[int] = None, log_fn=print,
             restore_path: Optional[str | Path] = None,
             resume_path: Optional[str | Path] = None,
+            profile_dir: Optional[str | Path] = None,
             metrics_callback=None) -> Dict[str, Any]:
         """Full train + test cycle; writes the reference's JSON artifacts
         (hyperparams.json, final_metric_scores.json, test_results.json).
@@ -402,6 +403,8 @@ class SubGNNPipeline:
             trainer.fit(params, state, train_data, val_data, anchors,
                         seed=seed, on_epoch_end=on_epoch_end, log_fn=log_fn,
                         start_epoch=start_epoch,
+                        profile_dir=(str(profile_dir) if profile_dir
+                                     else None),
                         metrics_callback=metrics_callback)
         except Exception:
             # persist whatever was learned before re-raising (pruned trials

@@ -479,3 +479,25 @@ def test_resume_reproduces_uninterrupted_run(rng, tmp_path):
                                    err_msg=jax.tree_util.keystr(p1))
     # and the epoch numbering continued (2 epochs of metrics, ids 2 and 3)
     assert [m["epoch"] for m in t_b.metric_scores] == [2, 3]
+
+
+def test_profile_dir_writes_trace(rng, tmp_path):
+    """Trainer.fit(profile_dir=...) produces a jax.profiler trace
+    (SURVEY §5 tracing/profiling subsystem)."""
+    from tests.test_models import build_toy, HP
+    from subgnn_tpu.data.dataset import SubgraphData
+    hp = HP.replace(max_epochs=1, batch_size=6)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    data = SubgraphData(
+        subgraph_ids=np.asarray(batch["cc_ids"])[:, 0, :],
+        cc_ids=np.asarray(batch["cc_ids"]),
+        labels=np.array([0, 1, 2, 0, 1, 2]),
+        NP_sim=np.asarray(batch["NP_sim"]),
+        I_S_sim=np.asarray(batch["I_S_sim"]),
+        B_S_sim=np.asarray(batch["B_S_sim"]),
+    )
+    t = Trainer(model, hp)
+    t.fit(params, state, data, data, {"train": anchors, "val": anchors},
+          seed=0, log_fn=None, profile_dir=str(tmp_path / "trace"))
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in produced), produced
