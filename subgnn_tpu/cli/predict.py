@@ -11,9 +11,11 @@ Usage:
       -restoreModelPath <results dir with hyperparams.json + checkpoints/> \\
       -subgraphs new_subgraphs.txt [-out predictions.json]
 
-new_subgraphs.txt: one subgraph per line, '-'-joined 1-based node ids —
-the node-id column format of subgraphs.pth (reference
-prepare_dataset/prepare_dataset.py:781-799).
+new_subgraphs.txt: one subgraph per line, '-'-joined **1-based** node ids
+(the framework's internal convention: 0 is PAD). NOTE: the node-id column
+of subgraphs.pth uses RAW 0-based ids (reference
+prepare_dataset/prepare_dataset.py:781-799) — copying ids from that file
+verbatim would shift every node by one; add 1 first.
 """
 from __future__ import annotations
 

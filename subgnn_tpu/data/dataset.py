@@ -28,10 +28,23 @@ def initialize_cc_ids(graph: CSRGraph, subgraphs: List[List[int]],
     (reference: SubGNN/SubGNN.py:575-607).
     """
     cc_lists = [graph.connected_components(sg) for sg in subgraphs]
+    got_cc = max(len(ccs) for ccs in cc_lists)
+    got_len = max((len(cc) for ccs in cc_lists for cc in ccs), default=1)
     if max_n_cc is None:
-        max_n_cc = max(len(ccs) for ccs in cc_lists)
+        max_n_cc = got_cc
+    elif got_cc > max_n_cc:
+        # pinned serving shapes (runner.predict) must reject oversized
+        # inputs with a clear message, not a numpy IndexError mid-pad
+        raise ValueError(
+            f"a subgraph has {got_cc} connected components > the pinned "
+            f"max_n_cc={max_n_cc}; raise the pin (costs a retrace) or "
+            "split the input")
     if max_len_cc is None:
-        max_len_cc = max((len(cc) for ccs in cc_lists for cc in ccs), default=1)
+        max_len_cc = got_len
+    elif got_len > max_len_cc:
+        raise ValueError(
+            f"a connected component has {got_len} nodes > the pinned "
+            f"max_len_cc={max_len_cc}; raise the pin (costs a retrace)")
     out = np.full((len(subgraphs), max_n_cc, max_len_cc), PAD_VALUE, dtype=np.int32)
     for s, ccs in enumerate(cc_lists):
         for c, cc in enumerate(ccs):

@@ -55,8 +55,10 @@ def read_subgraphs(path: str | Path):
 
     with open(path) as fin:
         for line in fin:
+            if not line.strip():
+                continue  # tolerate blank/whitespace lines (hand edits)
             cols = line.split("\t")
-            nodes = [int(n) for n in cols[0].split("-") if n != ""]
+            nodes = [int(n) for n in cols[0].split("-") if n.strip() != ""]
             if not nodes:
                 continue
             labs = cols[1].split("-")

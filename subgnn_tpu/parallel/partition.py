@@ -28,21 +28,19 @@ from typing import Tuple
 import numpy as np
 
 
-def adjacency_column_blocks(graph, n_parts: int) -> Tuple[np.ndarray, int]:
-    """Edge-partition the graph into destination-column blocks.
-
-    Returns (blocks, n_pad): blocks is (n_parts, n_pad, n_pad // n_parts)
-    bool — block d holds the adjacency columns [d*w, (d+1)*w) over 0-based
-    raw node ids, rows/cols zero-padded so every part is equal-width.
-    """
+def padded_adjacency(graph, n_parts: int) -> Tuple[np.ndarray, int]:
+    """(n_pad, n_pad) bool adjacency over 0-based raw node ids, zero-padded
+    so the column axis splits evenly into n_parts equal-width blocks —
+    device d's edge partition is columns [d*w, (d+1)*w). Built once (no
+    per-block copies: at n=30k the bool matrix is already 900 MB) and
+    vectorized straight off the CSR."""
     n = graph.n_nodes
     n_pad = -(-n // n_parts) * n_parts
-    w = n_pad // n_parts
     adj = np.zeros((n_pad, n_pad), dtype=bool)
-    for v in range(1, n + 1):
-        adj[v - 1, graph.neighbors(v) - 1] = True
-    blocks = np.stack([adj[:, d * w:(d + 1) * w] for d in range(n_parts)])
-    return blocks, n_pad
+    counts = np.diff(graph.indptr[1:]).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    adj[rows, graph.indices[graph.indptr[1]:] - 1] = True
+    return adj, n_pad
 
 
 def bfs_graph_partitioned(graph, mesh, chunk: int = 256) -> np.ndarray:
@@ -61,21 +59,21 @@ def bfs_graph_partitioned(graph, mesh, chunk: int = 256) -> np.ndarray:
     flat_mesh = Mesh(devices, ("dev",))
 
     n = graph.n_nodes
-    blocks, n_pad = adjacency_column_blocks(graph, n_dev)
-    w = n_pad // n_dev
-    # lay the blocks out as a (n_pad, n_pad) array sharded over columns:
-    # device d's shard IS its edge partition
-    adj_cols = np.concatenate(list(blocks), axis=1).astype(np.float32)
+    adj_np, n_pad = padded_adjacency(graph, n_dev)
+    # ship the BOOL matrix (1 B/entry over the host link), column-sharded:
+    # device d's shard IS its edge partition; the float cast for the MXU
+    # SpMV happens once per device below
     adj_sharded = jax.device_put(
-        jnp.asarray(adj_cols), NamedSharding(flat_mesh, P(None, "dev")))
+        jnp.asarray(adj_np), NamedSharding(flat_mesh, P(None, "dev")))
 
     @jax.jit
     def bfs_chunk(adj, src_onehot):
-        # adj: (n_pad, n_pad) column-sharded; src_onehot: (S, n_pad) bool
+        # adj: (n_pad, n_pad) bool column-sharded; src_onehot: (S, n_pad)
 
         def local(adj_local, src_local):
             # adj_local: (n_pad, w); src_local: (S, w) — this device's
             # destination columns of the frontier/visited/dist state
+            adj_local = adj_local.astype(jnp.float32)
             def cond(state):
                 _, _, _, _, n_active = state
                 return n_active > 0

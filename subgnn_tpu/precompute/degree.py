@@ -28,6 +28,10 @@ def degree_sequences(graph: CSRGraph, node_sets: np.ndarray, internal: bool):
     for i in range(n):
         nodes = node_sets[i]
         nodes = nodes[nodes != PAD_VALUE]
+        # duplicate entries (walk-derived structure patches revisit nodes)
+        # are kept and contribute one degree value PER OCCURRENCE — exactly
+        # the reference's nx `subgraph.degree(nodes)` with a duplicate
+        # nbunch (gamma.py:30; networkx repeats duplicated nbunch nodes)
         if nodes.size == 0:
             continue
         internal_deg = graph.induced_degrees(nodes)

@@ -168,14 +168,16 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     import optax
 
     n = graph.n_nodes
-    # directed edge arrays over RAW 0-based ids
-    src_list, dst_list = [], []
-    for v in range(1, n + 1):
-        nbrs = graph.neighbors(v)
-        src_list.append(np.full(len(nbrs), v - 1, dtype=np.int32))
-        dst_list.append((nbrs - 1).astype(np.int32))
-    src = np.concatenate(src_list)
-    dst = np.concatenate(dst_list)
+    # Convolution runs over ALL edges (train+val+test) while only train
+    # edges feed the loss — the reference does the same (`model(data.x,
+    # data.edge_index)` with mask-selected loss edges,
+    # train_node_emb.py:63,73): link-pred "splits" gate supervision, not
+    # message passing. Directed edge arrays over RAW 0-based ids, straight
+    # off the CSR (a per-node Python loop costs seconds at the 100k-node
+    # scale this module targets)
+    counts = np.diff(graph.indptr[1:]).astype(np.int64)  # per-node degree
+    src = np.repeat(np.arange(n, dtype=np.int32), counts)
+    dst = (graph.indices[graph.indptr[1]:] - 1).astype(np.int32)
     deg = jnp.asarray(graph.degrees[1:].astype(np.float32))
 
     # undirected positive edges (u < v), split 80/10/10

@@ -332,7 +332,7 @@ def write_subgraph_tsv(path: str | Path, subgraphs, labels, mask):
             if not sg:
                 continue
             f.write("\t".join(["-".join(str(v) for v in sg), str(lab),
-                               names[m], "\n"]))
+                               names[m]]) + "\n")
 
 
 def build_synthetic_dataset(out_dir: str | Path, desired_property: str = "density",

@@ -303,18 +303,21 @@ def test_bfs_graph_partitioned_matches_host():
     np.testing.assert_array_equal(host, dev)
 
 
-def test_adjacency_column_blocks_partition():
-    from subgnn_tpu.parallel.partition import adjacency_column_blocks
+def test_padded_adjacency_partition():
+    from subgnn_tpu.parallel.partition import padded_adjacency
 
     rng = np.random.default_rng(6)
     g = _random_csr(rng, n=10, m=20)
-    blocks, n_pad = adjacency_column_blocks(g, 4)
-    assert n_pad == 12 and blocks.shape == (4, 12, 3)
-    # reassembling the column blocks gives the full symmetric adjacency
-    full = np.concatenate(list(blocks), axis=1)
+    full, n_pad = padded_adjacency(g, 4)
+    assert n_pad == 12 and full.shape == (12, 12)
+    assert not full[10:].any() and not full[:, 10:].any()  # zero padding
     assert np.array_equal(full[:10, :10], full[:10, :10].T)
     degs = full.sum(axis=1)[:10]
     assert np.array_equal(degs, g.degrees[1:].astype(degs.dtype))
+    # device d's edge partition is the contiguous column block [d*w,(d+1)*w)
+    w = n_pad // 4
+    assert np.array_equal(np.concatenate(
+        [full[:, d * w:(d + 1) * w] for d in range(4)], axis=1), full)
 
 
 def test_precompute_np_sims_mesh_row_subset():
