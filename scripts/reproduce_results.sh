@@ -100,3 +100,9 @@ python scripts/bench_embedding_backward.py
 python scripts/bench_gather_fusion.py              # PERF.md rejected-fusion A/B
 BENCH_DTYPE=bfloat16 python bench.py
 JAX_PLATFORMS=cpu python bench_torch_baseline.py   # reference-style baseline
+
+# ---- hardware / sharding validation ---------------------------------------
+python scripts/tpu_smoke.py                        # real-TPU Pallas lowerings
+XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scripts/bench_mesh_scaling.py             # virtual-mesh bit-exactness
+python scripts/collectives_report.py               # per-step collective volumes
