@@ -570,13 +570,28 @@ class SubGNNPipeline:
         fwd = self._predict_fwd
 
         out = []
-        for batch in data.batches(hp.batch_size, shuffle=False,
-                                  drop_last=False):
+        B = hp.batch_size
+        arange_b = jnp.arange(B, dtype=jnp.int32)
+        for batch in data.batches(B, shuffle=False, drop_last=False):
             valid = batch["valid"]
+            idx = batch["subgraph_idx"]
             jbatch = {k: (jnp.asarray(v) if v is not None else None)
                       for k, v in batch.items()}
+            # slice the request-sized (N-dim) arrays down to this batch and
+            # re-index within it: every jit argument is then (B, ...) no
+            # matter how many subgraphs the request carried, so a steady
+            # serving deployment never retraces on request COUNT (each
+            # retrace is a multi-minute remote compile over the axon tunnel)
+            banchors = dict(anchors)
+            for k in ("neigh_int", "neigh_bor", "pos_int"):
+                if k in banchors:
+                    banchors[k] = banchors[k][:, idx]
+            bcc_tables = cc_tables
+            if cc_tables is not None:
+                bcc_tables = {k: v[idx] for k, v in cc_tables.items()}
+            jbatch["subgraph_idx"] = arange_b
             out.append(np.asarray(
-                fwd(params, state, jbatch, anchors, cc_tables))[valid])
+                fwd(params, state, jbatch, banchors, bcc_tables))[valid])
         logits = np.concatenate(out).astype(np.float32)
         if self.multilabel:
             probs = 1.0 / (1.0 + np.exp(-logits))

@@ -185,3 +185,28 @@ def test_predict_pad_bounds_pin_shapes(mini_root):
     np.testing.assert_array_equal(r1["logits"], r2["logits"])
     r3 = pipe.predict([[7, 8], [20, 21, 22]], max_n_cc=4, max_len_cc=6)
     assert r3["logits"].shape == r1["logits"].shape
+
+
+def test_predict_request_count_never_retraces(mini_root):
+    """Serving is N-invariant: per-batch anchor/cc-table slicing keeps
+    every jit argument at (batch_size, ...) shapes, so requests of any
+    subgraph COUNT reuse one traced program (each retrace would be a
+    multi-minute remote compile over the axon tunnel)."""
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train.runner import SubGNNPipeline
+
+    rc = RunConfig(task="mini", project_root=mini_root)
+    hp = HParams(max_epochs=1, use_neighborhood=True, use_position=True,
+                 use_structure=False, batch_size=4, n_layers=1,
+                 node_embed_size=8, linear_hidden_dim_1=8,
+                 linear_hidden_dim_2=8, n_anchor_patches_N_in=2,
+                 n_anchor_patches_N_out=2, n_anchor_patches_pos_in=2,
+                 n_anchor_patches_pos_out=3, seed=0)
+    pipe = SubGNNPipeline(rc, hp)
+    pipe.run(log_fn=None)
+    for node_lists in ([[1, 5]], [[1, 5], [2, 6], [7, 8]],
+                       [[3, 4], [9, 10], [11, 12], [1, 2], [5, 6]]):
+        r = pipe.predict(node_lists, max_n_cc=4, max_len_cc=6)
+        assert len(r["pred"]) == len(node_lists)
+    assert pipe._predict_fwd._cache_size() == 1, \
+        pipe._predict_fwd._cache_size()
