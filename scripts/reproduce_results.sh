@@ -77,6 +77,10 @@ prepare('data/coreness5k_v2', 'coreness', seed=43, emb_epochs=100,
         n=5000, n_subgraphs=250, n_subgraph_nodes=20)
 run_seeds('coreness5k_v2', 'data', 'data/best_coreness5k/hyperparams.json',
           n_seeds=10, out_dir='data/results/coreness5k_v2_10seeds')
+prepare('data/cutratio250v4', 'cut_ratio', seed=45, emb_epochs=100,
+        n=1000, n_subgraphs=250, n_subgraph_nodes=20)
+run_seeds('cutratio250v4', 'data', f'{REF}/cutratio/S_cutratio_hyperparams.json',
+          n_seeds=10, out_dir='data/results/cutratio250v4_Sref_10seeds')
 "
 
 # ---- EM-USER / PPI-BP scale with the frozen reference configs ------------
