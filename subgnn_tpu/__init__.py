@@ -27,3 +27,16 @@ PAD_VALUE = 0  # node id 0 is reserved for padding (reference: config.py:9)
 __version__ = "0.1.0"
 
 from . import config  # noqa: E402,F401
+from .config import HParams, RunConfig  # noqa: E402,F401
+
+
+def __getattr__(name):
+    # lazy: importing the pipeline pulls in jax; keep bare
+    # `import subgnn_tpu` cheap for config-only consumers
+    if name == "SubGNNPipeline":
+        from .train.runner import SubGNNPipeline
+        return SubGNNPipeline
+    if name == "Trainer":
+        from .train.loop import Trainer
+        return Trainer
+    raise AttributeError(name)
