@@ -53,35 +53,12 @@ run_seeds('component250', 'data',
           n_seeds=10, out_dir='data/results/component250_ALLref_10seeds')
 "
 
-# ---- instance-variance controls (seed-43/44 instances, same frozen configs)
-# (the "instance v2/v3" rows: identical code+config on fresh instance draws;
-# CPU-friendly — these were produced during a TPU-tunnel outage)
-python -u -c "
-from subgnn_tpu.cli.prepare_dataset import prepare
-from subgnn_tpu.cli.test import run_seeds
-REF = '$REF'
-for seed, tag in ((43, 'v2'), (44, 'v3')):
-    prepare(f'data/density250{tag}', 'density', seed=seed, emb_epochs=100,
-            n=1000, n_subgraphs=250, n_subgraph_nodes=20)
-    run_seeds(f'density250{tag}', 'data', f'{REF}/density/S_density_hyperparams.json',
-              n_seeds=10, out_dir=f'data/results/density250{tag}_Sref_10seeds')
-    prepare(f'data/cutratio250{tag}', 'cut_ratio', seed=seed, emb_epochs=100,
-            n=1000, n_subgraphs=250, n_subgraph_nodes=20)
-    run_seeds(f'cutratio250{tag}', 'data', f'{REF}/cutratio/S_cutratio_hyperparams.json',
-              n_seeds=10, out_dir=f'data/results/cutratio250{tag}_Sref_10seeds')
-    prepare(f'data/component250{tag}', 'cc', seed=seed, emb_epochs=100,
-            n=1000, n_subgraphs=250, n_subgraph_nodes=20)
-    run_seeds(f'component250{tag}', 'data', f'{REF}/component/all_component_hyperparams.json',
-              n_seeds=10, out_dir=f'data/results/component250{tag}_ALLref_10seeds')
-prepare('data/coreness5k_v2', 'coreness', seed=43, emb_epochs=100,
-        n=5000, n_subgraphs=250, n_subgraph_nodes=20)
-run_seeds('coreness5k_v2', 'data', 'data/best_coreness5k/hyperparams.json',
-          n_seeds=10, out_dir='data/results/coreness5k_v2_10seeds')
-prepare('data/cutratio250v4', 'cut_ratio', seed=45, emb_epochs=100,
-        n=1000, n_subgraphs=250, n_subgraph_nodes=20)
-run_seeds('cutratio250v4', 'data', f'{REF}/cutratio/S_cutratio_hyperparams.json',
-          n_seeds=10, out_dir='data/results/cutratio250v4_Sref_10seeds')
-"
+# ---- instance-variance controls (fresh instance draws, same frozen configs)
+# (the "v2/v3/v4" rows + per-instance oracles; deterministic regeneration —
+# CPU-friendly; these were produced during a TPU-tunnel outage)
+python -u scripts/instance_variance_study.py \
+  -tasks cutratio,density,component -seeds 43,44,45
+python -u scripts/instance_variance_study.py -tasks coreness5k -seeds 43,44
 
 # ---- EM-USER / PPI-BP scale with the frozen reference configs ------------
 python -u scripts/stress_scale.py -task scale57k_v2 -n 57000 -n_subgraphs 320
