@@ -399,3 +399,47 @@ def test_node_emb_distributed_spmm_matches_local():
                ("all-reduce", "all-gather", "all-to-all",
                 "collective-permute")), \
         "edge-sharded segment_sum compiled without any collective"
+
+
+def test_mesh_resume_reproduces_uninterrupted_run(tmp_path):
+    """Exact elastic resume THROUGH the mesh path: a sharded run
+    checkpointed at epoch 2 and resumed for epochs 2-3 reproduces the
+    uninterrupted sharded 4-epoch trajectory (exercises re-placing the
+    restored numpy opt_state onto the mesh in _shard_params_opt)."""
+    import __graft_entry__ as ge
+    from subgnn_tpu.train.loop import Trainer
+    from subgnn_tpu.train.checkpoint import save_checkpoint
+
+    mesh_axes = dict(mesh_data_axis=4, mesh_node_axis=2)
+
+    def build(max_epochs):
+        return ge._build_training_fixture(
+            n_train=16, n_val=8,
+            hp_overrides=dict(batch_size=8, max_epochs=max_epochs,
+                              trainable_cc=True, **mesh_axes))
+
+    model, hp4, params, state, data, anchors, eval_cc = build(4)
+    t_full = Trainer(model, hp4, eval_cc_tables=eval_cc)
+    t_full.fit(params, state, data["train"], data["val"], anchors,
+               seed=0, log_fn=None)
+
+    t_a = Trainer(model, hp4.replace(max_epochs=2), eval_cc_tables=eval_cc)
+    t_a.fit(params, state, data["train"], data["val"], anchors,
+            seed=0, log_fn=None)
+    ckpt = tmp_path / "mid.ckpt"
+    save_checkpoint(ckpt, t_a.params, t_a.state, t_a.opt_state,
+                    meta={"epoch": 1, "global_step": t_a.global_step})
+
+    t_b = Trainer(model, hp4, eval_cc_tables=eval_cc)
+    start = t_b.resume_from(ckpt)
+    assert start == 2
+    t_b.fit(params, state, data["train"], data["val"], anchors,
+            seed=0, log_fn=None, start_epoch=start)
+
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(t_full.params),
+            jax.tree_util.tree_leaves_with_path(t_b.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))
+    assert [m["epoch"] for m in t_b.metric_scores] == [2, 3]
