@@ -443,3 +443,61 @@ def test_mesh_resume_reproduces_uninterrupted_run(tmp_path):
                                    atol=1e-6,
                                    err_msg=jax.tree_util.keystr(p1))
     assert [m["epoch"] for m in t_b.metric_scores] == [2, 3]
+
+
+def test_ring_collectives_match_psum():
+    """Explicit ring all-reduce / all-gather (parallel/collectives.py)
+    agree with lax.psum / lax.all_gather on the virtual 8-device mesh —
+    the correctness gate for the ICI A/B harness
+    (scripts/bench_ring_collectives.py)."""
+    from jax import lax
+    from jax.sharding import Mesh
+    from subgnn_tpu.parallel.collectives import (
+        ring_all_reduce, ring_all_gather, ring_all_reduce_fused)
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("r",))
+    n = len(devs)
+    rng = np.random.default_rng(0)
+    # deliberately NOT divisible by n (exercises the pad path) + a 2-D
+    # shape like a weight matrix
+    for shape in ((n, 13), (n, 5, 7)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+        def ar(xs):
+            return ring_all_reduce(xs, "r")
+
+        got = jax.jit(jax.shard_map(ar, mesh=mesh, in_specs=P("r"),
+                                    out_specs=P("r")))(x)
+        want = jax.jit(jax.shard_map(lambda xs: lax.psum(xs, "r"),
+                                     mesh=mesh, in_specs=P("r"),
+                                     out_specs=P("r")))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+
+    def ag(xs):
+        return ring_all_gather(xs.reshape(-1), "r").reshape(-1)
+
+    got = jax.jit(jax.shard_map(ag, mesh=mesh, in_specs=P("r"),
+                                out_specs=P("r")))(x)
+    want = jax.jit(jax.shard_map(
+        lambda xs: lax.all_gather(xs.reshape(-1), "r").reshape(-1),
+        mesh=mesh, in_specs=P("r"), out_specs=P("r")))(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # fused variant: chunk_fn applied to every reduced element exactly
+    # once == elementwise transform of the psum
+    x = jnp.asarray(rng.normal(size=(n, 13)).astype(np.float32))
+
+    def arf(xs):
+        return ring_all_reduce_fused(xs, "r", lambda c: 2.0 * c + 1.0)
+
+    got = jax.jit(jax.shard_map(arf, mesh=mesh, in_specs=P("r"),
+                                out_specs=P("r")))(x)
+    want = jax.jit(jax.shard_map(
+        lambda xs: 2.0 * lax.psum(xs, "r") + 1.0,
+        mesh=mesh, in_specs=P("r"), out_specs=P("r")))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
