@@ -97,3 +97,63 @@ def test_batches_static_shapes():
     batches = list(data.batches(2, shuffle=False, drop_last=False))
     assert len(batches) == 3
     assert batches[-1]["valid"].tolist() == [True, False]
+
+
+def test_read_subgraphs_fuzz_robustness(tmp_path):
+    """Randomized TSV robustness: CRLF endings, blank/whitespace lines,
+    empty node segments ('1--2'), extra columns, unknown split tokens, and
+    a missing trailing newline must all parse without crashing, with split
+    counts/labels matching an independent line-level count (the two most
+    recent parser bugs — 4-column rows and blank lines — were exactly this
+    class; reference semantics at SubGNN/subgraph_utils.py:24-92)."""
+    import numpy as np
+    from subgnn_tpu.data.subgraphs import read_subgraphs
+
+    rng = np.random.default_rng(7)
+    splits = ["train", "val", "test", "bogus"]
+    for trial in range(20):
+        lines, expected = [], {"train": 0, "val": 0, "test": 0}
+        n_lines = int(rng.integers(3, 25))
+        multilabel = bool(rng.integers(0, 2))
+        for _ in range(n_lines):
+            kind = rng.random()
+            if kind < 0.1:
+                lines.append("   " if rng.random() < 0.5 else "")
+                continue
+            nodes = rng.integers(0, 50, size=int(rng.integers(1, 6)))
+            node_s = "-".join(str(n) for n in nodes)
+            if rng.random() < 0.2:      # empty segment: '1--2'
+                node_s = node_s.replace("-", "--", 1)
+            n_lab = int(rng.integers(2, 4)) if multilabel else 1
+            lab_s = "-".join(f"L{int(l)}" for l in
+                             rng.integers(0, 5, size=n_lab))
+            split = splits[int(rng.integers(0, len(splits)))]
+            cols = [node_s, lab_s, split]
+            if rng.random() < 0.25:     # trailing 4th column
+                cols.append("extra")
+            if split in expected:
+                expected[split] += 1
+            eol = "\r\n" if rng.random() < 0.3 else "\n"
+            lines.append("\t".join(cols) + eol.rstrip("\n"))
+        body = "\n".join(lines)
+        if rng.random() < 0.5:
+            body += "\n"
+        f = tmp_path / f"fuzz{trial}.tsv"
+        f.write_text(body)
+
+        tr, trL, va, vaL, te, teL, ml = read_subgraphs(f)
+        # swap quirk: returned val is never the smaller of (val, test)
+        assert len(va) >= len(te)
+        assert {len(tr), len(va), len(te)} == {
+            expected["train"],
+            max(expected["val"], expected["test"]),
+            min(expected["val"], expected["test"])} or (
+            len(tr) == expected["train"]
+            and sorted([len(va), len(te)])
+            == sorted([expected["val"], expected["test"]]))
+        for g in (tr, va, te):
+            for nodes in g:
+                assert nodes and all(isinstance(n, int) for n in nodes)
+        if not ml:
+            for L in (trL, vaL, teL):
+                assert L.dtype == np.int64
