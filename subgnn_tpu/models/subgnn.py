@@ -91,6 +91,14 @@ class SubGNNModel:
         hp = self.hp
         D = hp.node_embed_size
         assert pretrained_embeds.shape[1] == D
+        if pretrained_embeds.shape[0] < self.n_nodes:
+            # a short table would make jnp's clamped gathers silently map
+            # every high node id onto the last row (the GatherPlan path
+            # raises for the same ids — keep both paths loud)
+            raise ValueError(
+                f"pretrained embeddings have {pretrained_embeds.shape[0]} "
+                f"rows < n_nodes={self.n_nodes}: stale/mismatched "
+                "embedding file for this graph")
         # pad the row count to a multiple of 8 so the table's leading axis
         # can shard evenly over a 'node' mesh axis (and tiles cleanly);
         # rows beyond n_nodes are never indexed

@@ -53,7 +53,13 @@ def load_params_filtered(path: str | Path, current_params, payload=None):
             return {k: merge(cur[k], sav[k]) if isinstance(sav, dict) and k in sav
                     else cur[k] for k in cur}
         if isinstance(cur, list):
-            return [merge(c, s) for c, s in zip(cur, sav)] if isinstance(sav, list) else cur
+            if not isinstance(sav, list):
+                return cur
+            # overlap merges positionally; the current model's EXTRA layers
+            # keep their init (zip would silently truncate them — e.g.
+            # restoring an n_layers=2 checkpoint into an n_layers=3 model)
+            return [merge(c, sav[i]) if i < len(sav) else c
+                    for i, c in enumerate(cur)]
         if sav is not None and np.shape(sav) == np.shape(cur):
             return sav
         return cur
@@ -77,6 +83,11 @@ class TopKCheckpoints:
                    global_step: int | None = None) -> bool:
         value = float(metrics.get(self.monitor, float("-inf")))
         key = value if self.mode == "max" else -value
+        if np.isnan(key):
+            # a NaN monitor (e.g. val_auroc on degenerate splits) must not
+            # win best_path: NaN compares False everywhere, so it would
+            # save every epoch and sort arbitrarily
+            return False
         if len(self.kept) >= self.k and key <= min(v for v, _ in self.kept):
             return False
         fname = (f"epoch={epoch}-val_micro_f1={metrics.get('val_micro_f1', 0):.2f}"

@@ -98,7 +98,7 @@ class Trainer:
 
     # ---------------------------------------------------------- step builders
 
-    def _build_steps(self, anchors_by_split):
+    def _build_steps(self):
         model, hp = self.model, self.hp
 
         def train_step(params, opt_state, state, batch, anchors, rng):
@@ -366,6 +366,14 @@ class Trainer:
             metrics_callback: Optional[Callable[[int, Dict[str, Any]], None]] = None,
             profile_dir: Optional[str] = None) -> Dict[str, Any]:
         hp = self.hp
+        # each fit() is a fresh run: without this a re-fit on the same
+        # Trainer (HPO re-fits, multi-config tests) would compare its
+        # epochs against the PREVIOUS run's metric history and top-k
+        # checkpoints (best_monitor_value / best_path spanning both runs)
+        self.metric_scores = []
+        self._grad_norms = []
+        if self.ckpt:
+            self.ckpt.kept = []
         # Defensive device copy: the train-step jits donate (params,
         # opt_state, state) so Adam updates write in place (the embedding
         # table + both moments are the largest persistent buffers). One
@@ -376,7 +384,6 @@ class Trainer:
             lambda x: None if x is None else jnp.array(x, copy=True), t,
             is_leaf=lambda x: x is None)
         self.params, self.state = copy_tree(params), copy_tree(state)
-        self.opt_state = self.tx.init(self.params)
         self.global_step = 0  # fresh stream unless a checkpoint restores it
         # own the dict: per-epoch anchor resampling updates it in place, and
         # that must never leak into the caller's test-split anchors (the
@@ -392,9 +399,15 @@ class Trainer:
                 self.opt_state = jax.tree_util.tree_map(
                     jnp.asarray, r["opt_state"],
                     is_leaf=lambda x: x is None)
+            else:
+                self.opt_state = self.tx.init(self.params)
             # continue the RNG stream where the checkpoint left off
             self.global_step = int(r["meta"].get("global_step", 0))
             self._resume = None
+        else:
+            # only when NOT resuming: Adam moments are two table-sized
+            # buffers, and a resume immediately replaces them
+            self.opt_state = self.tx.init(self.params)
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
             n_node = self.mesh.shape["node"]
@@ -409,7 +422,7 @@ class Trainer:
         self._shard_params_opt()
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        self._build_steps(anchors_by_split)
+        self._build_steps()
         # scatter-free embedding-table backward (train/plans.py); widths are
         # sticky across epochs so recompiles only happen on growth
         self._plan_builder = P.PlanBuilder(self.params["node_embed"].shape[0])
@@ -499,6 +512,11 @@ class Trainer:
             work, so it is prefetched for epoch e+1 while the device runs
             epoch e (dispatch is async; the host only blocks when it reads
             the losses)."""
+            # the fused train_epoch marks every row valid
+            # (_gather_batch(..., ones)): a drop_last=False order here
+            # would train pad rows (duplicated subgraph 0) at full loss
+            # weight — fused_possible guarantees this, assert it locally
+            assert drop_last, "fused epochs require drop_last batch order"
             order = self._epoch_order(len(train_data), hp.batch_size,
                                       rng_np, drop_last)
             extras = P.epoch_plans(self._plan_builder, hp,

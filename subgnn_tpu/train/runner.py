@@ -98,8 +98,10 @@ class SubGNNPipeline:
         if multilabel:
             self.binarizer = MultiLabelBinarizer().fit(
                 list(trl) + list(val) + list(tel))
-            self.num_classes = max(max(l) for l in
-                                   list(trl) + list(val) + list(tel)) + 1
+            # the label-matrix width — NOT max(id)+1: label ids are assigned
+            # in file order over every line incl. skipped splits, so the id
+            # space can have gaps the binarizer's column space does not
+            self.num_classes = len(self.binarizer.classes_)
         else:
             self.binarizer = None
             self.num_classes = int(max(trl.max(), val.max(), tel.max())) + 1
@@ -575,8 +577,12 @@ class SubGNNPipeline:
         for batch in data.batches(B, shuffle=False, drop_last=False):
             valid = batch["valid"]
             idx = batch["subgraph_idx"]
+            # forward() never reads subgraph_ids, and its pad width follows
+            # the request's LONGEST node list — keeping it out of the jit
+            # arguments avoids both a retrace (remote compile) per new
+            # length and a per-batch host->device transfer
             jbatch = {k: (jnp.asarray(v) if v is not None else None)
-                      for k, v in batch.items()}
+                      for k, v in batch.items() if k != "subgraph_ids"}
             # slice the request-sized (N-dim) arrays down to this batch and
             # re-index within it: every jit argument is then (B, ...) no
             # matter how many subgraphs the request carried, so a steady

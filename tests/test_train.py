@@ -501,3 +501,55 @@ def test_profile_dir_writes_trace(rng, tmp_path):
           seed=0, log_fn=None, profile_dir=str(tmp_path / "trace"))
     produced = list((tmp_path / "trace").rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+def test_filtered_restore_keeps_extra_layers(tmp_path):
+    """Restoring an n_layers=2 checkpoint into an n_layers=3 model must
+    keep the third layer's init (the reference's filtered state_dict
+    intersection keeps unmatched current weights, train.py:264-273) —
+    list subtrees merge positionally, never truncate."""
+    saved = {"channels": [np.full((2, 2), 1.0), np.full((2, 2), 2.0)],
+             "head": np.full(3, 5.0)}
+    ckpt = tmp_path / "two_layers.ckpt"
+    save_checkpoint(ckpt, saved)
+    current = {"channels": [np.zeros((2, 2)), np.zeros((2, 2)),
+                            np.full((2, 2), 9.0)],
+               "head": np.zeros(3)}
+    merged = load_params_filtered(ckpt, current)
+    assert len(merged["channels"]) == 3
+    np.testing.assert_array_equal(merged["channels"][0], 1.0)
+    np.testing.assert_array_equal(merged["channels"][1], 2.0)
+    np.testing.assert_array_equal(merged["channels"][2], 9.0)  # kept init
+    np.testing.assert_array_equal(merged["head"], 5.0)
+
+
+def test_topk_checkpoints_ignore_nan_monitor(tmp_path):
+    """A NaN monitored metric (degenerate-split AUROC) must never be
+    saved/ranked: NaN compares False everywhere, so it would otherwise
+    save every epoch and leave best_path arbitrary."""
+    ck = TopKCheckpoints(tmp_path, k=2, monitor="val_auroc")
+    p = {"w": np.zeros(2)}
+    assert not ck.maybe_save(0, {"val_auroc": float("nan")}, p)
+    assert ck.best_path is None
+    assert ck.maybe_save(1, {"val_auroc": 0.5}, p)
+    assert not ck.maybe_save(2, {"val_auroc": float("nan")}, p)
+    assert ck.best_path == ck.kept[0][1]
+    assert ck.kept[0][0] == 0.5
+
+
+def test_refit_resets_run_state(rng):
+    """A second fit() on the same Trainer is a fresh run: metric history
+    and top-k checkpoint ranking must not span both runs."""
+    import __graft_entry__ as ge
+
+    model, hp, params, state, data, anchors, eval_cc = \
+        ge._build_training_fixture(
+            n_train=16, n_val=8,
+            hp_overrides=dict(batch_size=8, max_epochs=2))
+    tr = Trainer(model, hp, eval_cc_tables=eval_cc)
+    tr.fit(params, state, data["train"], data["val"], anchors,
+           seed=0, log_fn=None)
+    first = [m["epoch"] for m in tr.metric_scores]
+    tr.fit(params, state, data["train"], data["val"], anchors,
+           seed=1, log_fn=None)
+    assert [m["epoch"] for m in tr.metric_scores] == first == [0, 1]
