@@ -51,6 +51,20 @@ run_seeds('density250', 'data',
 run_seeds('component250', 'data',
           '$REF/component/all_component_hyperparams.json',
           n_seeds=10, out_dir='data/results/component250_ALLref_10seeds')
+# the 500-epoch rows (frozen configs, only max_epochs raised; top-k val
+# checkpointing makes the longer budget monotone-safe — RESULTS.md)
+run_seeds('component250', 'data',
+          '$REF/component/all_component_hyperparams.json', n_seeds=10,
+          max_epochs=500,
+          out_dir='data/results/component250_ALLref_500ep_10seeds')
+run_seeds('cutratio250', 'data',
+          '$REF/cutratio/S_cutratio_hyperparams.json', n_seeds=10,
+          max_epochs=500,
+          out_dir='data/results/cutratio250_Sref_500ep_10seeds')
+run_seeds('density250', 'data',
+          '$REF/density/S_density_hyperparams.json', n_seeds=10,
+          max_epochs=500,
+          out_dir='data/results/density250_Sref_500ep_10seeds')
 "
 
 # ---- instance-variance controls (fresh instance draws, same frozen configs)
@@ -58,7 +72,7 @@ run_seeds('component250', 'data',
 # CPU-friendly; these were produced during a TPU-tunnel outage)
 python -u scripts/instance_variance_study.py \
   -tasks cutratio,density,component -seeds 43,44,45
-python -u scripts/instance_variance_study.py -tasks coreness5k -seeds 43,44
+python -u scripts/instance_variance_study.py -tasks coreness5k -seeds 43,44,45
 
 # ---- EM-USER / PPI-BP scale with the frozen reference configs ------------
 python -u scripts/stress_scale.py -task scale57k_v2 -n 57000 -n_subgraphs 320
