@@ -6,7 +6,8 @@ inside one kernel invocation per pair-tile: both sequences and the two
 rolling diagonals stay resident in VMEM, the wavefront loop is a single
 fori_loop on the VPU with no per-step HLO traffic. Grid tiles the pair axis.
 
-Falls back to interpret mode automatically off-TPU (tests run it on CPU).
+Selected only on TPU (precompute/dtw.py's platform allowlist); tests run
+it on CPU by passing interpret=True explicitly.
 """
 from __future__ import annotations
 

@@ -1,6 +1,8 @@
-"""ctypes loader for the native C++ host kernels (native/subgnn_native.cpp).
+"""ctypes loader for the native C++ host kernels
+(subgnn_tpu/native/subgnn_native.cpp — shipped as package data).
 
-Compiles the shared library on first use (g++, cached beside the source) and
+Compiles the shared library on first use (g++, cached beside the source,
+or under ~/.cache/subgnn_tpu when the install dir is read-only) and
 exposes:
   * bfs_all_pairs(graph) -> (n, n) int32 hop distances (exact same contract
     as the NumPy host backend; auto-used by precompute.shortest_paths when
@@ -21,8 +23,23 @@ from typing import Optional
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parents[2] / "native" / "subgnn_native.cpp"
-_LIB_PATH = _SRC.parent / "libsubgnn_native.so"
+_SRC = Path(__file__).resolve().parents[1] / "native" / "subgnn_native.cpp"
+
+
+def _lib_dir() -> Path:
+    import os
+    # a prebuilt library beside the source (e.g. built once by root in a
+    # system install) is usable read-only — prefer it over forcing every
+    # user into a per-user cache rebuild
+    if (os.access(_SRC.parent, os.W_OK)
+            or (_SRC.parent / "libsubgnn_native.so").exists()):
+        return _SRC.parent
+    d = Path.home() / ".cache" / "subgnn_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+_LIB_PATH = _lib_dir() / "libsubgnn_native.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
@@ -58,6 +75,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # a stale library from an older package version lacks a newer
+        # symbol: degrade to the NumPy paths instead of crashing
+        # is_available()'s no-throw contract
+        import warnings
+        warnings.warn("libsubgnn_native.so is missing symbols (stale "
+                      "build?); native kernels disabled")
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib):
     lib.bfs_all_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
@@ -70,8 +102,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_double, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-    _lib = lib
-    return _lib
 
 
 def is_available() -> bool:

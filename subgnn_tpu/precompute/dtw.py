@@ -71,8 +71,12 @@ def dtw_distance_batch(a: jnp.ndarray, la: jnp.ndarray,
         ans = jnp.where(hit, val, ans)
         return (cur, prev, ans), None
 
-    init = (jnp.full((N, La), INF), jnp.full((N, La), INF),
-            jnp.zeros((N,), a.dtype))
+    # carry inherits the inputs' device-variance (+0*a is free after
+    # fusion): pure-constant inits are 'unvarying' under shard_map and
+    # fail the scan carry-type check (same vma issue as partition.py)
+    init = (jnp.full((N, La), INF) + 0.0 * a,
+            jnp.full((N, La), INF) + 0.0 * a,
+            jnp.zeros((N,), a.dtype) + 0.0 * a[:, 0])
     (prev, prev2, ans), _ = jax.lax.scan(step, init, jnp.arange(La + Lb - 1))
     return jnp.where((la == 0) | (lb == 0), 0.0, ans)
 
@@ -112,9 +116,11 @@ def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
     n_pairs = nc * na
 
     # On TPU the Pallas wavefront kernel (~11% faster, bit-identical) runs
-    # the DP fully in VMEM; elsewhere (CPU tests) the lax.scan version.
+    # the DP fully in VMEM; everywhere else (CPU tests, any non-TPU
+    # accelerator) the lax.scan version — the Mosaic kernel only lowers on
+    # TPU, so the platform check is an allowlist
     kernel = dtw_distance_batch
-    if jax.devices()[0].platform not in ("cpu",):
+    if jax.devices()[0].platform == "tpu":
         from ..ops.dtw_pallas import dtw_distance_pallas
         kernel = dtw_distance_pallas
 
@@ -133,11 +139,24 @@ def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
         return (1.0 / (out + 1.0)).reshape(nc, na)
 
     # Mesh path: host chunk loop with the pair axis of each chunk sharded
-    # over every device (pure data parallelism; identical results).
+    # over every device (pure data parallelism; identical results). The
+    # kernel runs under shard_map — REQUIRED for the Pallas kernel (GSPMD
+    # cannot auto-partition a Mosaic custom call; without the wrapper the
+    # first real multi-chip run would fail to lower), and a no-op
+    # per-device split for the lax.scan kernel.
     from jax.sharding import NamedSharding, PartitionSpec
     n_dev = int(np.prod(list(mesh.shape.values())))
-    chunk = -(-chunk // n_dev) * n_dev  # divisible by the device count
-    sharding = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+    # divisible by device count AND by the Pallas kernel's per-device
+    # pair-tile (8) for any mesh size
+    q = n_dev * 8
+    chunk = -(-chunk // q) * q
+    axes = tuple(mesh.axis_names)
+    sharding = NamedSharding(mesh, PartitionSpec(axes))
+    spec = PartitionSpec(axes)
+    kernel = jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_vma=False))  # pallas_call outputs carry no vma metadata
 
     ci = np.repeat(np.arange(nc), na)
     ai = np.tile(np.arange(na), nc)

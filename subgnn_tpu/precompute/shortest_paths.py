@@ -131,7 +131,11 @@ def shortest_path_matrix(graph: CSRGraph, backend: str = "auto",
                          n_threads: int = 0) -> np.ndarray:
     """Dense (n, n) all-pairs hop-distance matrix over RAW 0-based ids.
 
-    backend: 'host' | 'device' | 'auto' (device for n <= 4096).
+    backend: 'host' | 'device' | 'auto'. Auto prefers the multithreaded
+    C++ host kernel whenever it is available (it beats the dense device
+    SpMV at every shipped size and avoids remote round trips) and uses
+    the device backend only as the n <= 4096 fallback without a native
+    toolchain.
     A mesh forces the device backend; partition picks the decomposition:
     'sources' shards independent BFS sources against a replicated
     adjacency (no collectives), 'graph' edge-partitions the adjacency

@@ -36,6 +36,11 @@ def padded_neighbor_table(graph: CSRGraph, max_deg: int | None = None):
     deg = graph.degrees
     if max_deg is None:
         max_deg = int(deg.max())
+    # clamp degrees to the truncated row width: the samplers index
+    # row[max_deg - 1 - u % deg], so an unclamped hub degree would index
+    # past the kept neighbors (JAX clamps to 0 = the PAD slot, silently
+    # walking to PAD)
+    deg = np.minimum(deg, max_deg)
     table = np.zeros((graph.n_nodes + 1, max_deg), dtype=np.int32)
     for v in range(1, graph.n_nodes + 1):
         nbrs = graph.neighbors(v)[:max_deg]

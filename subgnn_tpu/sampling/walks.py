@@ -133,6 +133,10 @@ def perform_random_walks(graph: CSRGraph, hp, anchor_patches: np.ndarray,
     """
     n_patches = anchor_patches.shape[0]
     W, L = hp.n_triangular_walks, hp.random_walk_len
+    if L < 2:
+        # walks are [start, neighbor, ...] — the reference's walker also
+        # always emits >=2 nodes when the start has a neighbor
+        raise ValueError(f"random_walk_len must be >= 2, got {L}")
     out = np.full((n_patches, W, L), PAD_VALUE, dtype=np.int32)
     for p in range(n_patches):
         patch = anchor_patches[p]
@@ -150,13 +154,14 @@ def perform_random_walks(graph: CSRGraph, hp, anchor_patches: np.ndarray,
             border_member[external] = True
             member = None
             if in_border.size == 0:
-                # every patch node is interior: no border walk possible;
-                # keep padding (reference would raise on np.random.choice of
-                # an empty list only if patch covers the whole graph)
-                start_nodes = patch
-                border_member = None
-            else:
-                start_nodes = in_border
+                # every patch node is interior (the patch covers a whole
+                # connected component): no border walk exists. Keep the PAD
+                # walks — empty border degree sequence, like an all-padding
+                # patch. Documented deviation: the reference CRASHES here
+                # (np.random.choice of the empty in_border_nodes,
+                # anchor_patch_samplers.py:78).
+                continue
+            start_nodes = in_border
         for w in range(W):
             rng = np.random.default_rng([seed, 211 if inside else 223, p, w])
             walk = triangular_random_walk(

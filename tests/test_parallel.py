@@ -501,3 +501,39 @@ def test_ring_collectives_match_psum():
         mesh=mesh, in_specs=P("r"), out_specs=P("r")))(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dtw_pallas_under_shard_map_matches_scan():
+    """The mesh-distributed DTW path wraps the kernel in shard_map — the
+    Pallas kernel (Mosaic custom call) CANNOT be auto-partitioned by
+    GSPMD, so this exact combination (sharded pair axis + Pallas, the one
+    a real multi-chip TPU runs) is pinned here in interpret mode against
+    the lax.scan kernel."""
+    import functools
+    from jax import lax  # noqa: F401
+    from jax.sharding import Mesh
+    from subgnn_tpu.precompute.dtw import dtw_distance_batch
+    from subgnn_tpu.ops.dtw_pallas import dtw_distance_pallas
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("r",))
+    n = 8 * len(devs)            # kernel needs per-device N % 8 == 0
+    rng = np.random.default_rng(3)
+    La, Lb = 12, 10
+    a = np.zeros((n, La), np.float32)
+    b = np.zeros((n, Lb), np.float32)
+    la = rng.integers(0, La + 1, n).astype(np.int32)  # incl. empty rows
+    lb = rng.integers(1, Lb + 1, n).astype(np.int32)
+    for i in range(n):
+        a[i, :la[i]] = np.sort(rng.integers(1, 20, la[i]))[::-1]
+        b[i, :lb[i]] = np.sort(rng.integers(1, 20, lb[i]))[::-1]
+
+    kern = functools.partial(dtw_distance_pallas, interpret=True)
+    spec = P("r")
+    f = jax.jit(jax.shard_map(kern, mesh=mesh,
+                              in_specs=(spec, spec, spec, spec),
+                              out_specs=spec, check_vma=False))
+    got = np.asarray(f(a, la, b, lb))
+    want = np.asarray(dtw_distance_batch(
+        jnp.asarray(a), jnp.asarray(la), jnp.asarray(b), jnp.asarray(lb)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
