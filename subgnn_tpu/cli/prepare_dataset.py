@@ -58,7 +58,10 @@ def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
         if log_fn:
             log_fn(f"wrote {task_dir}/edge_list.txt + subgraphs.pth")
     graph = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
-    precompute_graph_metrics(task_dir, graph)
+    # a freshly written graph must regenerate its metrics: keeping cached
+    # ego/degree/shortest-path files from a previous graph in the same dir
+    # would silently train the N/P channels on the wrong distances
+    precompute_graph_metrics(task_dir, graph, override=generate_graph)
     if log_fn:
         log_fn("precomputed graph metrics")
     if generate_emb:
@@ -88,8 +91,10 @@ def main():
                         choices=["density", "cut_ratio", "coreness", "cc"])
     parser.add_argument("-seed", type=int, default=42)
     parser.add_argument("-n", type=int, default=1000)
-    parser.add_argument("-n_subgraphs", type=int, default=250)
-    parser.add_argument("-n_subgraph_nodes", type=int, default=20)
+    # None = keep build_synthetic_dataset's per-property defaults
+    # (coreness 30, cc 120, ...); a hard default here would clobber them
+    parser.add_argument("-n_subgraphs", type=int, default=None)
+    parser.add_argument("-n_subgraph_nodes", type=int, default=None)
     parser.add_argument("-conv", type=str, default="gin",
                         choices=["gin", "graphsaint_gcn"])
     parser.add_argument("-emb_dim", type=int, default=64)
@@ -108,9 +113,10 @@ def main():
     prepare(args.out, args.property, args.seed, args.conv, args.emb_dim,
             args.emb_epochs, generate_graph=not args.skip_graph,
             emb_minibatch=args.emb_minibatch, emb_search=args.emb_search,
-            emb_plots=args.emb_plots,
-            n=args.n, n_subgraphs=args.n_subgraphs,
-            n_subgraph_nodes=args.n_subgraph_nodes)
+            emb_plots=args.emb_plots, n=args.n,
+            **{k: v for k, v in (("n_subgraphs", args.n_subgraphs),
+                                 ("n_subgraph_nodes", args.n_subgraph_nodes))
+               if v is not None})
 
 
 if __name__ == "__main__":

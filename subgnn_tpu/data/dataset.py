@@ -27,6 +27,9 @@ def initialize_cc_ids(graph: CSRGraph, subgraphs: List[List[int]],
     Connected components of each subgraph's induced graph
     (reference: SubGNN/SubGNN.py:575-607).
     """
+    if not subgraphs:
+        raise ValueError("no subgraphs given (empty node-list file or "
+                         "empty split)")
     cc_lists = [graph.connected_components(sg) for sg in subgraphs]
     got_cc = max(len(ccs) for ccs in cc_lists)
     got_len = max((len(cc) for ccs in cc_lists for cc in ccs), default=1)

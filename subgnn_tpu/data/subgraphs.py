@@ -54,10 +54,17 @@ def read_subgraphs(path: str | Path):
     multilabel = False
 
     with open(path) as fin:
-        for line in fin:
+        for lineno, line in enumerate(fin, 1):
             if not line.strip():
                 continue  # tolerate blank/whitespace lines (hand edits)
             cols = line.split("\t")
+            if len(cols) < 3:
+                # same hand-edit class as blank lines, but a short row is
+                # ambiguous (missing label or split?) — fail loudly with
+                # context instead of a raw IndexError
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'nodes\\tlabel\\tsplit' "
+                    f"(3 tab-separated columns), got {len(cols)}")
             nodes = [int(n) for n in cols[0].split("-") if n.strip() != ""]
             if not nodes:
                 continue

@@ -102,14 +102,14 @@ def bfs_graph_partitioned(graph, mesh, chunk: int = 256) -> np.ndarray:
                          out_specs=P(None, "dev"))(adj, src_onehot)
 
     out = np.zeros((n, n), dtype=np.int32)
-    eye = np.eye(n_pad, dtype=bool)
     src_sharding = NamedSharding(flat_mesh, P(None, "dev"))
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
-        rows = eye[start:stop]
-        if rows.shape[0] < chunk:  # pad to one compiled shape; all-zero
-            rows = np.concatenate(  # source rows stay at dist 0 everywhere
-                [rows, np.zeros((chunk - rows.shape[0], n_pad), bool)])
+        # per-chunk one-hot source rows (a full n_pad x n_pad eye would be
+        # a second O(n^2) host allocation — the exact wall this module
+        # exists to avoid); padded rows stay all-zero = dist 0 everywhere
+        rows = np.zeros((chunk, n_pad), dtype=bool)
+        rows[np.arange(stop - start), np.arange(start, stop)] = True
         src = jax.device_put(jnp.asarray(rows), src_sharding)
         res = np.asarray(bfs_chunk(adj_sharded, src))
         out[start:stop] = res[: stop - start, :n]

@@ -442,11 +442,16 @@ def greedy_hyperparam_search(graph: CSRGraph, *, conv_type: str = "gin",
     best = {"val_acc": -1.0, "emb": None, "metrics": None, "hp": dict(current)}
     types = list(spaces)
     shuffler.shuffle(types)
-    for param_type in types:
+    seen = set()  # configs already trained: each later coordinate's sweep
+    for param_type in types:  # revisits the settled incumbent — skip it
         vals = list(spaces[param_type])
         shuffler.shuffle(vals)
         for val in vals:
             current[param_type] = val
+            key = tuple(sorted(current.items()))
+            if key in seen:
+                continue
+            seen.add(key)
             emb, metrics = train_node_embeddings(
                 graph, conv_type=conv_type, minibatch=minibatch,
                 epochs=epochs, seed=seed, **current)

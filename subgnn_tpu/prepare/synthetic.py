@@ -285,7 +285,11 @@ class SyntheticGraphBuilder:
             self._relabel_to_largest_cc()
         values = [self._property(s) for s in self.subgraphs]
         if self.desired_property == "cc":
-            bins = [1, 5]  # 1 CC vs >1 CC (prepare_dataset.py:702)
+            # reference parity: 1 CC vs >1 CC (prepare_dataset.py:702).
+            # NOTE digitize merges counts 2-4 into the first bin — the
+            # reference does the same, and its CC_RANGE {1,5..10} (our
+            # cc_range default) never produces those counts
+            bins = [1, 5]
         else:
             bins = self._quantile_bins(sorted(values), self.n_bins)
         idx = np.digitize(values, bins=bins)

@@ -239,7 +239,9 @@ def test_node_emb_graphsaint_minibatch(density_dataset):
 
 def test_node_emb_greedy_search(density_dataset, monkeypatch):
     """Greedy coordinate descent sweeps every value of every type and
-    returns the best-val-acc configuration (train_node_emb.py:146-172)."""
+    returns the best-val-acc configuration (train_node_emb.py:146-172);
+    configurations already evaluated (later coordinates revisiting the
+    settled incumbent) are skipped, not retrained."""
     import subgnn_tpu.prepare.node_emb as ne
     from subgnn_tpu.data.graph import CSRGraph
     root, task_dir, _, _ = density_dataset
@@ -252,7 +254,9 @@ def test_node_emb_greedy_search(density_dataset, monkeypatch):
     emb, metrics, best_hp = ne.greedy_hyperparam_search(
         g, conv_type="gin", minibatch="full", epochs=8, seed=1,
         log_fn=seen.append)
-    assert len(seen) == 6  # one run per (type, value) pair incl. repeats
+    # only 2 UNIQUE configs exist (hidden 16 vs 32 with all-single-value
+    # other coordinates): exactly 2 trainings, no redundant repeats
+    assert len(seen) == 2
     assert best_hp["hidden"] in (16, 32)
     assert emb.shape == (g.n_nodes, 8)
     assert metrics["val_acc"] >= 0.5
