@@ -48,6 +48,7 @@ def main():
             print(json.dumps({
                 "metric": "mpn_edges_per_s", "value": 0.0,
                 "unit": "edges/s", "vs_baseline": 0.0,
+                "anchor_patch_samples_per_s": 0.0,
                 "error": "TPU unreachable: no dispatch completed in 20 min "
                          "(wedged tunnel); see RESULTS.md for the last "
                          "verified numbers"}), flush=True)
