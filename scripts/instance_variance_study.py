@@ -61,7 +61,8 @@ def main():
     from subgnn_tpu.cli.test import run_seeds
 
     for task in args.tasks.split(","):
-        prop, cfg, gen_kwargs, reftag = TASKS[task.strip()]
+        task = task.strip()
+        prop, cfg, gen_kwargs, reftag = TASKS[task]
         base = "coreness5k" if task == "coreness5k" else f"{task}250"
         for seed in (int(s) for s in args.seeds.split(",")):
             tag = tag_for_seed(seed)

@@ -204,7 +204,10 @@ def test_predict_request_count_never_retraces(mini_root):
                  n_anchor_patches_pos_out=3, seed=0)
     pipe = SubGNNPipeline(rc, hp)
     pipe.run(log_fn=None)
+    # varying COUNT and varying LONGEST-node-list length (subgraph_ids'
+    # request-dependent pad width is dropped from the jit arguments)
     for node_lists in ([[1, 5]], [[1, 5], [2, 6], [7, 8]],
+                       [[1, 5, 9, 2, 6], [2, 6]],
                        [[3, 4], [9, 10], [11, 12], [1, 2], [5, 6]]):
         r = pipe.predict(node_lists, max_n_cc=4, max_len_cc=6)
         assert len(r["pred"]) == len(node_lists)
