@@ -157,3 +157,25 @@ def test_read_subgraphs_fuzz_robustness(tmp_path):
         if not ml:
             for L in (trL, vaL, teL):
                 assert L.dtype == np.int64
+
+
+def test_read_subgraphs_short_line_clear_error(tmp_path):
+    """A non-blank row with <3 tab-separated columns raises a ValueError
+    naming file:line, not a raw IndexError."""
+    import pytest
+    from subgnn_tpu.data.subgraphs import read_subgraphs
+
+    f = tmp_path / "short.tsv"
+    f.write_text("1-2\tA\ttrain\n3-4-5\n")
+    with pytest.raises(ValueError, match=r"short\.tsv:2.*3 tab-separated"):
+        read_subgraphs(f)
+
+
+def test_initialize_cc_ids_empty_rejected():
+    import pytest
+    from subgnn_tpu.data.dataset import initialize_cc_ids
+    from subgnn_tpu.data.graph import CSRGraph
+
+    g = CSRGraph.from_edges(np.array([[1, 2]]), n_nodes=2)
+    with pytest.raises(ValueError, match="no subgraphs"):
+        initialize_cc_ids(g, [])
