@@ -378,6 +378,27 @@ class SubGNNPipeline:
                           eval_cc_tables=eval_cc, tb_dir=tb_dir, mesh=mesh)
         if self.results_dir:
             dump_json(self.results_dir / "hyperparams.json", hp.to_dict())
+            # trainer_kwargs.json sidecar (train_config.py:179-183 dumps the
+            # json-serializable trainer kwargs after popping logger/callback
+            # objects). Same keys where they exist, TPU analogs for the rest.
+            tkw = {
+                "max_epochs": hp.max_epochs,
+                "gpus": 0,  # reference key; TPU devices listed below
+                "num_sanity_val_steps": 0,
+                "progress_bar_refresh_rate":
+                    hp.extras.get("progress_bar_refresh_rate", 5),
+                "gradient_clip_val": hp.grad_clip,
+                "devices": [str(d) for d in (mesh.devices.flatten()
+                                             if mesh is not None
+                                             else jax.devices())],
+                "mesh_axes": (dict(zip(mesh.axis_names, mesh.devices.shape))
+                              if mesh is not None else None),
+                "monitor": self.rc.monitor_metric,
+                "checkpoint_k": self.checkpoint_k,
+            }
+            if hp.auto_lr_find:
+                tkw["auto_lr_find"] = True
+            dump_json(self.results_dir / "trainer_kwargs.json", tkw)
 
         if hp.auto_lr_find and hp.max_epochs > 0:
             found = trainer.lr_find(params, state, self.split_data("train"),

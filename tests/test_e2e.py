@@ -60,6 +60,14 @@ def test_full_pipeline_density(density_dataset, tmp_path):
     assert (tmp_path / "hyperparams.json").exists()
     assert (tmp_path / "final_metric_scores.json").exists()
     assert (tmp_path / "test_results.json").exists()
+    # trainer_kwargs.json sidecar with the reference's serializable keys
+    # (reference: train_config.py:121-131,179-183)
+    import json
+    tkw = json.loads((tmp_path / "trainer_kwargs.json").read_text())
+    assert tkw["max_epochs"] == hp.max_epochs
+    assert tkw["gradient_clip_val"] == hp.grad_clip
+    assert tkw["num_sanity_val_steps"] == 0
+    assert "devices" in tkw and len(tkw["devices"]) >= 1
     assert list((tmp_path / "checkpoints").glob("*.ckpt"))
     # caches were produced with reference-compatible names
     sims = rc.similarities_path()
