@@ -39,6 +39,110 @@ def default_hyperparams() -> dict:
     )
 
 
+def get_hyperparams_optuna(args, trial) -> dict:
+    """In-driver search ranges mirroring reference train.py:152-192,
+    including its two name quirks: n_layers is suggested under the name
+    'gamma_shortest_max_distance_N' (train.py:163), and
+    linear_hidden_dim_1/2 share the suggest name 'linear_hidden_dim'
+    (train.py:176-177) so they always come out equal."""
+    return dict(
+        seed=42,
+        batch_size=trial.suggest_int("batch_size", 64, 150),
+        learning_rate=trial.suggest_float("learning_rate", 1e-5, 1e-3,
+                                          log=True),
+        grad_clip=trial.suggest_float("grad_clip", 0, 0.5),
+        max_epochs=(args.max_epochs if args.max_epochs is not None else 100),
+        node_embed_size=32,
+        n_layers=trial.suggest_int("gamma_shortest_max_distance_N", 1, 5),
+        n_anchor_patches_pos_in=trial.suggest_int(
+            "n_anchor_patches_pos_in", 25, 75),
+        n_anchor_patches_pos_out=trial.suggest_int(
+            "n_anchor_patches_pos_out", 50, 200),
+        n_anchor_patches_N_in=trial.suggest_int(
+            "n_anchor_patches_N_in", 10, 25),
+        n_anchor_patches_N_out=trial.suggest_int(
+            "n_anchor_patches_N_out", 25, 75),
+        n_anchor_patches_structure=trial.suggest_int(
+            "n_anchor_patches_structure", 15, 40),
+        neigh_sample_border_size=trial.suggest_int(
+            "neigh_sample_border_size", 1, 2),
+        linear_hidden_dim_1=trial.suggest_int("linear_hidden_dim", 16, 96),
+        linear_hidden_dim_2=trial.suggest_int("linear_hidden_dim", 16, 96),
+        n_triangular_walks=trial.suggest_int("n_triangular_walks", 5, 15),
+        random_walk_len=trial.suggest_int("random_walk_len", 18, 26),
+        sample_walk_len=trial.suggest_int("sample_walk_len", 18, 26),
+        rw_beta=trial.suggest_float("rw_beta", 0.1, 0.9),
+        lstm_aggregator="last",
+        lstm_dropout=trial.suggest_float("lstm_dropout", 0.0, 0.4),
+        lstm_n_layers=trial.suggest_int("lstm_n_layers", 1, 2),
+        n_processes=4,
+        lin_dropout=trial.suggest_float("lin_dropout", 0.0, 0.6),
+        resample_anchor_patches=False, compute_similarities=False,
+        use_mpn_projection=True,
+        use_neighborhood=True, use_structure=False, use_position=False,
+        cc_aggregator=trial.suggest_categorical("cc_aggregator",
+                                                ["sum", "max"]),
+        trainable_cc=trial.suggest_categorical("trainable_cc", [True, False]),
+        freeze_node_embeds=False, embedding_type="gin",
+    )
+
+
+# GridSampler space at reference train.py:471-474. Its second key is never
+# suggested by get_hyperparams_optuna (the vestigial
+# gamma_shortest_max_distance_P) — a dead grid dimension, reproduced as-is.
+GRID_SEARCH_SPACE = {
+    "neigh_sample_border_size": [1, 2],
+    "gamma_shortest_max_distance_P": [3, 4, 5, 6],
+}
+
+
+def run_optuna_search(args, rc: RunConfig):
+    """The reference's flow (2): -opt_n_trials set, no restoreModelPath
+    (train.py:448-493) — resumable study over the in-driver ranges."""
+    import random as _random
+    from ..train.hpo import Study, TrialPruned
+
+    direction = ("minimize" if args.monitor_metric == "val_loss"
+                 else "maximize")
+    study_path = (Path(args.log_path) if args.log_path
+                  else Path(args.project_root) / args.tb_dir / args.tb_name)
+    study_path.mkdir(parents=True, exist_ok=True)
+    study = Study(study_path / "study.json", direction=direction,
+                  sampler=("grid" if args.grid_search else "random"),
+                  grid_search_space=(GRID_SEARCH_SPACE if args.grid_search
+                                     else None))
+
+    def objective(trial):
+        hyp = get_hyperparams_optuna(args, trial)
+        if args.seed is not None:
+            hyp["seed"] = args.seed
+        if args.subset_data:
+            hyp["subset_data"] = True
+        if args.debug_mode:
+            hyp["debug_mode"] = True
+        results_dir = (None if args.no_save else study_path /
+                       ("version_" + str(_random.randint(0, 10_000_000))))
+        pipe = SubGNNPipeline(rc, HParams.from_dict(hyp),
+                              results_dir=results_dir,
+                              checkpoint_k=(0 if args.no_checkpointing
+                                            else args.checkpoint_k))
+
+        def metrics_callback(epoch, metrics):
+            trial.report(metrics.get(args.monitor_metric, float("nan")),
+                         epoch)
+            if args.opt_prune and trial.should_prune():
+                raise TrialPruned()
+
+        out = pipe.run(metrics_callback=metrics_callback)
+        return out["best_monitor"]
+
+    study.optimize(objective, args.opt_n_trials)
+    print(json.dumps({"best_params": study.best_params,
+                      "best_value": study.best_trial["value"]},
+                     default=float))
+    return study
+
+
 def main():
     parser = argparse.ArgumentParser(description="Learn subgraph embeddings")
     parser.add_argument("-task", type=str, required=True)
@@ -74,6 +178,19 @@ def main():
                         help="write a jax.profiler trace of training here "
                              "(the reference's AdvancedProfiler analog, "
                              "train.py:345-351)")
+    # in-driver optuna search (reference train.py:80-83,448-493)
+    parser.add_argument("-opt_n_trials", type=int, default=None,
+                        help="run an HPO study over the in-driver ranges "
+                             "instead of a single run")
+    parser.add_argument("-opt_n_cores", type=int, default=-1,
+                        help="accepted for parity; trials run sequentially "
+                             "(the reference's shipped configs use 1 core)")
+    parser.add_argument("-opt_prune", action="store_true",
+                        help="median-prune unpromising trials")
+    parser.add_argument("-grid_search", action="store_true",
+                        help="grid sampler over the reference's fixed space")
+    parser.add_argument("-log_path", type=str, default=None,
+                        help="study/results dir (defaults to tb_dir/tb_name)")
     # per-file path overrides (reference train.py:52-56)
     parser.add_argument("-graph_path", type=str, default=None)
     parser.add_argument("-subgraphs_path", type=str, default=None)
@@ -108,7 +225,13 @@ def main():
                    shortest_paths_path_override=args.shortest_paths_path,
                    similarities_path_override=args.similarities_path,
                    embedding_path_override=args.embedding_path)
+    if args.opt_n_trials is not None and args.restoreModelPath is None:
+        # flow (2) of reference train.py:36-41: HPO over in-driver ranges
+        run_optuna_search(args, rc)
+        return
+
     results_dir = (None if args.no_save
+                   else Path(args.log_path) if args.log_path
                    else Path(args.project_root) / args.tb_dir / args.tb_name)
     restore = None
     if args.restoreModelPath and args.restoreModelName:

@@ -82,6 +82,12 @@ class Trial:
         return value
 
     def suggest_categorical(self, name, choices):
+        if name in self.params:
+            # optuna semantics: a repeated suggest name within one trial
+            # returns the already-drawn value. The reference's in-driver
+            # ranges rely on this — linear_hidden_dim_1/2 share the name
+            # 'linear_hidden_dim' (train.py:176-177), so they are equal.
+            return self.params[name]
         if name in self.fixed:
             return self._record(name, self.fixed[name])
         v = self._hook(name, "categorical", choices=choices)
@@ -90,6 +96,8 @@ class Trial:
         return self._record(name, choices[int(self.rng.integers(len(choices)))])
 
     def suggest_int(self, name, low, high, step=1, log=False):
+        if name in self.params:
+            return self.params[name]  # optuna repeated-name semantics
         if name in self.fixed:
             return self._record(name, self.fixed[name])
         v = self._hook(name, "int", low=low, high=high, log=log)
@@ -102,6 +110,8 @@ class Trial:
         return self._record(name, int(self.rng.integers(low, high + 1)))
 
     def suggest_float(self, name, low, high, step=None, log=False):
+        if name in self.params:
+            return self.params[name]  # optuna repeated-name semantics
         if name in self.fixed:
             return self._record(name, self.fixed[name])
         v = self._hook(name, "float", low=low, high=high, log=log, step=step)

@@ -138,6 +138,17 @@ class SubGNNPipeline:
         sim_dir = rc.similarities_path()
         sim_dir.mkdir(parents=True, exist_ok=True)
         recompute = hp.compute_similarities
+        if hp.subset_data:
+            # Debug smoke mode truncates the splits (reference
+            # SubGNN.py:542-546 truncates at read time), so subgraph-shaped
+            # artifacts disagree with the full-data caches in both
+            # directions: reading a full-size cache crashes on shape, and
+            # writing a subset-size one would poison later full runs.
+            # Bypass the cache entirely — compute fresh, touch no files.
+            def cached(path, fn, recompute=False):  # noqa: F811 (local)
+                return fn()
+        else:
+            from ..precompute.similarities import cached
         _t0 = _time.time()
 
         def _stage(name):

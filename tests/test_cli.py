@@ -226,3 +226,83 @@ def test_suggest_float_step_includes_high():
         seen.add(round(t.suggest_float("x", 0.1, 0.5, step=0.1), 6))
     assert round(0.5, 6) in seen, sorted(seen)
     assert seen <= {0.1, 0.2, 0.3, 0.4, 0.5}, sorted(seen)
+
+
+def test_in_driver_optuna_ranges_and_quirks():
+    """get_hyperparams_optuna mirrors reference train.py:152-192 including
+    the two name quirks: n_layers drawn under the optuna name
+    'gamma_shortest_max_distance_N', and linear_hidden_dim_1/2 sharing one
+    suggest name (hence always equal)."""
+    import argparse
+    from subgnn_tpu.cli.train import get_hyperparams_optuna
+
+    args = argparse.Namespace(max_epochs=7)
+    for i in range(5):
+        t = Trial(np.random.default_rng(i))
+        hyp = get_hyperparams_optuna(args, t)
+        assert hyp["linear_hidden_dim_1"] == hyp["linear_hidden_dim_2"]
+        assert "linear_hidden_dim" in t.params
+        assert "linear_hidden_dim_1" not in t.params
+        assert hyp["n_layers"] == t.params["gamma_shortest_max_distance_N"]
+        assert 1 <= hyp["n_layers"] <= 5
+        assert 64 <= hyp["batch_size"] <= 150
+        assert 1e-5 <= hyp["learning_rate"] <= 1e-3
+        assert hyp["max_epochs"] == 7
+        assert hyp["use_neighborhood"] and not hyp["use_structure"]
+
+
+def test_trial_repeated_name_returns_same_value():
+    """optuna semantics: re-suggesting an existing name in one trial
+    returns the first draw (what makes the shared-name quirk work)."""
+    t = Trial(np.random.default_rng(0))
+    a = t.suggest_int("d", 1, 1000)
+    assert t.suggest_int("d", 1, 1000) == a
+    b = t.suggest_float("f", 0.0, 1.0)
+    assert t.suggest_float("f", 0.0, 1.0) == b
+    c = t.suggest_categorical("c", ["x", "y", "z"])
+    assert t.suggest_categorical("c", ["x", "y", "z"]) == c
+
+
+def test_train_cli_in_driver_search(tmp_path, monkeypatch, capsys):
+    """-opt_n_trials runs the reference's flow (2): a resumable study over
+    in-driver ranges (reference train.py:448-493). Ranges are patched tiny
+    so two full trials train in seconds; the real ranges are asserted in
+    test_in_driver_optuna_ranges_and_quirks."""
+    import sys
+    from subgnn_tpu.prepare.synthetic import build_synthetic_dataset
+    from subgnn_tpu.prepare.node_emb import train_node_embeddings, save_embeddings
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.cli import train as train_cli
+
+    root = tmp_path
+    task_dir = root / "density"
+    build_synthetic_dataset(task_dir, "density", seed=3, n=80, m=3,
+                            n_subgraphs=24, n_subgraph_nodes=6, max_tries=20)
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    emb, _ = train_node_embeddings(g, out_dim=8, hidden=16, epochs=5)
+    save_embeddings(task_dir, emb, "gin")
+
+    def tiny_ranges(args, trial):
+        return dict(
+            seed=42, max_epochs=2, batch_size=8,
+            learning_rate=trial.suggest_float("learning_rate", 1e-4, 1e-2,
+                                              log=True),
+            n_layers=1, use_neighborhood=False, use_structure=True,
+            use_position=False, n_anchor_patches_structure=3,
+            n_triangular_walks=2, random_walk_len=5, sample_walk_len=8,
+            max_sim_epochs=2, linear_hidden_dim_1=8, linear_hidden_dim_2=8,
+            embedding_type="gin",
+        )
+
+    monkeypatch.setattr(train_cli, "get_hyperparams_optuna", tiny_ranges)
+    monkeypatch.setattr(sys, "argv", [
+        "train", "-task", "density", "-project_root", str(root),
+        "-tb_name", "indriver", "-opt_n_trials", "2"])
+    train_cli.main()
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert "best_params" in payload and "learning_rate" in payload["best_params"]
+    study_file = root / "tensorboard" / "indriver" / "study.json"
+    assert study_file.exists()
+    trials = json.loads(study_file.read_text())["trials"]
+    assert len(trials) == 2 and all(np.isfinite(t["value"]) for t in trials)
