@@ -306,3 +306,24 @@ def test_train_cli_in_driver_search(tmp_path, monkeypatch, capsys):
     assert study_file.exists()
     trials = json.loads(study_file.read_text())["trials"]
     assert len(trials) == 2 and all(np.isfinite(t["value"]) for t in trials)
+
+
+def test_grid_search_space_mechanics():
+    """-grid_search's fixed space (reference train.py:471-474): 8 points;
+    neigh_sample_border_size is honored by the suggest call while
+    gamma_shortest_max_distance_P is a dead dimension (never suggested by
+    the ranges) — reproduced as-is."""
+    import argparse
+    from subgnn_tpu.cli.train import get_hyperparams_optuna, GRID_SEARCH_SPACE
+    from subgnn_tpu.train.hpo import _grid_points
+
+    points = _grid_points(GRID_SEARCH_SPACE)
+    assert len(points) == 8
+    seen_border = set()
+    for i, fixed in enumerate(points):
+        t = Trial(np.random.default_rng(i), fixed=fixed)
+        hyp = get_hyperparams_optuna(argparse.Namespace(max_epochs=2), t)
+        assert hyp["neigh_sample_border_size"] == fixed["neigh_sample_border_size"]
+        assert "gamma_shortest_max_distance_P" not in t.params
+        seen_border.add(hyp["neigh_sample_border_size"])
+    assert seen_border == {1, 2}
