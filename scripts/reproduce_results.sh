@@ -57,6 +57,13 @@ run_seeds('component250', 'data',
           '$REF/component/all_component_hyperparams.json', n_seeds=10,
           max_epochs=500,
           out_dir='data/results/component250_ALLref_500ep_10seeds')
+# per-channel frozen component configs (P is the winner: component count
+# is a position property — RESULTS.md)
+for ch in ['P', 'N', 'S']:
+    run_seeds('component250', 'data',
+              f'$REF/component/{ch}_component_hyperparams.json', n_seeds=10,
+              max_epochs=500,
+              out_dir=f'data/results/component250_{ch}ref_500ep_10seeds')
 run_seeds('cutratio250', 'data',
           '$REF/cutratio/S_cutratio_hyperparams.json', n_seeds=10,
           max_epochs=500,
