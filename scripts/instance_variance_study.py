@@ -25,7 +25,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 REF = "/root/reference/best_model_hyperparameters"
-# task -> (property, frozen config, generator kwargs, result tag)
+# task -> (property, frozen config, generator kwargs, result tag[, max_epochs])
 TASKS = {
     "cutratio": ("cut_ratio", f"{REF}/cutratio/S_cutratio_hyperparams.json",
                  dict(n=1000, n_subgraphs=250, n_subgraph_nodes=20), "Sref"),
@@ -34,6 +34,12 @@ TASKS = {
     "component": ("cc", f"{REF}/component/all_component_hyperparams.json",
                   dict(n=1000, n_subgraphs=250, n_subgraph_nodes=20),
                   "ALLref"),
+    # per-channel winner: component count is a position property, so the
+    # reference's frozen P config is the one that beats paper (RESULTS.md
+    # 0.988 +/- 0.018 on v1 at 500 epochs) — variance-control it too
+    "component_P": ("cc", f"{REF}/component/P_component_hyperparams.json",
+                    dict(n=1000, n_subgraphs=250, n_subgraph_nodes=20),
+                    "Pref_500ep", 500),
     # coreness needs the 5k-node base graph (RESULTS.md: the 1k-node "250"
     # instance only fits ~50 planted subgraphs); config = our HPO winner
     "coreness5k": ("coreness", "data/best_coreness5k/hyperparams.json",
@@ -62,8 +68,10 @@ def main():
 
     for task in args.tasks.split(","):
         task = task.strip()
-        prop, cfg, gen_kwargs, reftag = TASKS[task]
-        base = "coreness5k" if task == "coreness5k" else f"{task}250"
+        prop, cfg, gen_kwargs, reftag, *rest = TASKS[task]
+        max_epochs = rest[0] if rest else None
+        base = ("coreness5k" if task == "coreness5k"
+                else f"{task.split('_')[0]}250")
         for seed in (int(s) for s in args.seeds.split(",")):
             tag = tag_for_seed(seed)
             inst = (f"{base}_{tag}" if task == "coreness5k"
@@ -75,7 +83,8 @@ def main():
                    if task != "coreness5k" else
                    f"{args.project_root}/results/{inst}_{args.n_seeds}seeds")
             r = run_seeds(inst, args.project_root, cfg,
-                          n_seeds=args.n_seeds, out_dir=out)
+                          n_seeds=args.n_seeds, out_dir=out,
+                          max_epochs=max_epochs)
             print(json.dumps({"instance": inst,
                               "micro_f1_mean": r["micro_f1_mean"],
                               "micro_f1_sd": r["micro_f1_sd"]}))
