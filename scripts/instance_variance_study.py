@@ -41,8 +41,10 @@ TASKS = {
                     dict(n=1000, n_subgraphs=250, n_subgraph_nodes=20),
                     "Pref_500ep", 500),
     # coreness needs the 5k-node base graph (RESULTS.md: the 1k-node "250"
-    # instance only fits ~50 planted subgraphs); config = our HPO winner
-    "coreness5k": ("coreness", "data/best_coreness5k/hyperparams.json",
+    # instance only fits ~50 planted subgraphs); config = our HPO winner,
+    # read from the version-controlled copy (run_synthetic_protocol.py
+    # writes configs/best/ since the 2026-08-18 data/ wipe)
+    "coreness5k": ("coreness", "configs/best/coreness5k_hyperparams.json",
                    dict(n=5000, n_subgraphs=250, n_subgraph_nodes=20),
                    "hpo"),
 }

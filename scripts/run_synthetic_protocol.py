@@ -17,6 +17,8 @@ import json
 import time
 from pathlib import Path
 
+REPO = Path(__file__).resolve().parents[1]
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -143,6 +145,14 @@ def main():
     out_dir = root / f"best_{args.task}{suffix}"
     out_dir.mkdir(exist_ok=True)
     (out_dir / "hyperparams.json").write_text(json.dumps(hyp, indent=2))
+    # also persist the winner OUTSIDE the gitignored data root: the
+    # container reboot of 2026-08-18 wiped data/ and with it the only
+    # copy of the coreness5k HPO winner — protocol winners are part of
+    # the reproducibility contract (RESULTS.md rows cite them), so they
+    # belong in version control
+    tracked = REPO / "configs" / "best" / f"{args.task}{suffix}_hyperparams.json"
+    tracked.parent.mkdir(parents=True, exist_ok=True)
+    tracked.write_text(json.dumps(hyp, indent=2))
     res = run_seeds(args.task, str(root), str(out_dir / "hyperparams.json"),
                     n_seeds=args.seeds,
                     out_dir=str(root / "results" /
