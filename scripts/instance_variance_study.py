@@ -68,9 +68,23 @@ def main():
     from subgnn_tpu.cli.prepare_dataset import prepare
     from subgnn_tpu.cli.test import run_seeds
 
-    for task in args.tasks.split(","):
-        task = task.strip()
+    # fail fast on missing frozen configs BEFORE any expensive prepare()
+    # (the coreness5k winner only exists after queue27 / a protocol run)
+    tasks = [t.strip() for t in args.tasks.split(",")]
+    for task in tasks:
+        cfg_path = Path(TASKS[task][1])
+        if not cfg_path.is_absolute():
+            cfg_path = REPO / cfg_path
+        if not cfg_path.exists():
+            raise FileNotFoundError(
+                f"frozen config for task {task!r} missing: {cfg_path} "
+                "(for coreness5k, run scripts/run_synthetic_protocol.py "
+                "first — it writes configs/best/)")
+
+    for task in tasks:
         prop, cfg, gen_kwargs, reftag, *rest = TASKS[task]
+        if not Path(cfg).is_absolute():
+            cfg = str(REPO / cfg)  # robust to callers not cd'd to the repo
         max_epochs = rest[0] if rest else None
         base = ("coreness5k" if task == "coreness5k"
                 else f"{task.split('_')[0]}250")

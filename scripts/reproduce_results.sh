@@ -79,6 +79,8 @@ run_seeds('density250', 'data',
 # CPU-friendly; these were produced during a TPU-tunnel outage)
 python -u scripts/instance_variance_study.py \
   -tasks cutratio,density,component -seeds 43,44,45
+# the component frozen-P 500-epoch controls (the winning channel config)
+python -u scripts/instance_variance_study.py -tasks component_P -seeds 43,44,45
 python -u scripts/instance_variance_study.py -tasks coreness5k -seeds 43,44,45
 
 # ---- EM-USER / PPI-BP scale with the frozen reference configs ------------

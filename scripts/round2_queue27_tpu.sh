@@ -13,6 +13,12 @@ if [ -f /tmp/queue26_tpu.pid ]; then
   Q26=$(cat /tmp/queue26_tpu.pid)
   while kill -0 "$Q26" 2>/dev/null; do sleep 60; done
 fi
+# fallback when the pid file is missing (e.g. /tmp wiped again): never
+# share the chip with a still-running queue26 — two processes on one
+# chip crashed the TPU worker once (CLAUDE.md queue hygiene)
+while ps -o args= -C bash 2>/dev/null | grep -q round2_queue26_tpu; do
+  sleep 60
+done
 
 wait_healthy() {
   until timeout 420 python -c "import jax, jax.numpy as jnp; print(jax.jit(lambda: jnp.ones(8).sum())())" >/dev/null 2>&1; do

@@ -268,6 +268,10 @@ class Study:
 
     def optimize(self, objective: Callable[[Trial], float], n_trials: int):
         start = len(self.trials)
+        if self.grid is not None:
+            # optuna's GridSampler stops the study once every grid point
+            # has run — never re-run duplicate points
+            n_trials = min(n_trials, len(self.grid))
         for t in range(start, n_trials):
             rng = np.random.default_rng([self.seed, t])
             fixed = self.grid[t % len(self.grid)] if self.grid else None
@@ -292,12 +296,19 @@ class Study:
 
     @property
     def best_trial(self) -> Dict[str, Any]:
+        # optuna semantics: only COMPLETE trials compete — a pruned trial's
+        # recorded value is its best intermediate at prune time, not a
+        # trained-out result
+        complete = [t for t in self.trials if not t.get("pruned")]
+        if not complete:
+            raise ValueError("no completed trials in the study")
+
         def key(t):
             v = t["value"]
             if not np.isfinite(v):
                 return float("-inf")
             return v if self.direction == "maximize" else -v
-        return max(self.trials, key=key)
+        return max(complete, key=key)
 
     @property
     def best_params(self) -> Dict[str, Any]:

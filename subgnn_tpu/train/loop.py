@@ -738,6 +738,13 @@ class Trainer:
         return float(lrs[min(best, len(lrs) - 1)]) / damping
 
     def best_monitor_value(self) -> float:
+        # the reference's HPO objective takes min over epochs exactly when
+        # monitoring val_loss, max otherwise (train.py:432-435); without
+        # this a minimize-direction study would optimize each trial's
+        # WORST epoch
         vals = [m[self.monitor] for m in self.metric_scores
                 if self.monitor in m]
-        return float(np.max(vals)) if vals else float("nan")
+        if not vals:
+            return float("nan")
+        return float(np.min(vals) if self.monitor == "val_loss"
+                     else np.max(vals))

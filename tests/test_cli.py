@@ -62,6 +62,64 @@ def test_grid_sampler(tmp_path):
     assert seen == {(1, 10), (1, 20), (2, 10), (2, 20)}
 
 
+def test_grid_sampler_stops_at_exhaustion(tmp_path):
+    """optuna's GridSampler ends the study once every point has run;
+    asking for more trials than grid points must not re-run duplicates."""
+    space = {"a": [1, 2], "b": [10, 20]}
+
+    def objective(trial):
+        a = trial.suggest_categorical("a", [1, 2])
+        b = trial.suggest_categorical("b", [10, 20])
+        return a * b
+
+    s = Study(tmp_path / "study.json", sampler="grid", grid_search_space=space)
+    s.optimize(objective, 20)
+    assert len(s.trials) == 4
+
+
+def test_best_trial_ignores_pruned(tmp_path):
+    """optuna restricts best_trial to COMPLETE trials: a pruned trial's
+    value is its best intermediate at prune time, not a trained-out
+    result, so it must not win the study."""
+    from subgnn_tpu.train.hpo import TrialPruned
+
+    def objective(trial):
+        x = trial.suggest_uniform("x", 0.0, 1.0)
+        trial.report(2.0, 0)  # spiky intermediate, better than anyone
+        if len(trial.study.trials) == 0:  # prune only the first trial
+            raise TrialPruned()
+        return x
+
+    s = Study(tmp_path / "study.json", direction="maximize", seed=3)
+    s.optimize(objective, 4)
+    assert s.trials[0]["pruned"] and s.trials[0]["value"] == 2.0
+    assert not s.best_trial["pruned"]
+    assert s.best_trial["value"] == max(t["value"] for t in s.trials
+                                        if not t["pruned"])
+    # all-pruned study has no winner, like optuna
+    def always_pruned(trial):
+        trial.report(1.0, 0)
+        raise TrialPruned()
+
+    s2 = Study(tmp_path / "study2.json", direction="maximize", seed=3)
+    s2.optimize(always_pruned, 2)
+    with pytest.raises(ValueError):
+        _ = s2.best_trial
+
+
+def test_best_monitor_value_direction():
+    """The HPO objective takes min over epochs exactly for val_loss
+    (reference train.py:432-435), max otherwise."""
+    from subgnn_tpu.train.loop import Trainer
+    t = Trainer.__new__(Trainer)
+    t.metric_scores = [{"val_loss": 0.9, "val_micro_f1": 0.2},
+                       {"val_loss": 0.1, "val_micro_f1": 0.8}]
+    t.monitor = "val_loss"
+    assert Trainer.best_monitor_value(t) == pytest.approx(0.1)
+    t.monitor = "val_micro_f1"
+    assert Trainer.best_monitor_value(t) == pytest.approx(0.8)
+
+
 def test_run_config_parses_reference_config(tmp_path):
     cfg = """{
         "data": {"task": "hpo_metab"},
