@@ -100,7 +100,7 @@ def main():
     parser.add_argument("-emb_dim", type=int, default=64)
     parser.add_argument("-emb_epochs", type=int, default=100)
     parser.add_argument("-emb_minibatch", type=str, default="full",
-                        choices=["full", "graphsaint"])
+                        choices=["full", "graphsaint", "neighbor"])
     parser.add_argument("--emb_search", action="store_true",
                         help="greedy coordinate-descent node-emb hparam "
                              "search (reference train_node_emb.py:146-172)")

@@ -24,7 +24,8 @@ from ..train.runner import SubGNNPipeline
 def run_seeds(task: str, project_root: str, hyperparams_path: str,
               n_seeds: int = 10, out_dir: str | None = None,
               max_epochs: int | None = None, log_fn=print,
-              random_seeds: bool = False) -> dict:
+              random_seeds: bool = False,
+              overrides: dict | None = None) -> dict:
     rc = RunConfig(task=task, project_root=Path(project_root))
     with open(Path(hyperparams_path)) as f:
         hyp = json.load(f)
@@ -38,7 +39,7 @@ def run_seeds(task: str, project_root: str, hyperparams_path: str,
         seeds = list(range(n_seeds))
     accs, f1s, aurocs = [], [], []
     for round_i, seed in enumerate(seeds):
-        hp = HParams.from_dict(dict(hyp, seed=seed))
+        hp = HParams.from_dict(dict(hyp, seed=seed, **(overrides or {})))
         if max_epochs is not None:
             hp = hp.replace(max_epochs=max_epochs)
         results_dir = out_dir / f"seed_{round_i}"

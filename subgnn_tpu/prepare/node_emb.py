@@ -13,13 +13,15 @@ preprocess.py:27-86, utils.py:22-59) with a jit-compiled JAX trainer:
     (train_node_emb.py:63: num_neg = pos//4),
   * edges split 80/10/10 into train/val/test scoring sets
     (preprocess.py:64-82),
-  * two minibatch modes: full-batch (default; the shipped graphs are <=60k
-    nodes) and a GraphSAINT-style random-walk sampler
-    (train_node_emb.py:52-56) run ENTIRELY on device: stateless-RNG walks
-    over a padded neighbor table pick the node sample, and the induced
-    subgraph is realized as a membership mask over the full edge arrays —
-    static shapes, no host gather, same O(E) segment-sum with messages
-    outside the sample zeroed,
+  * three minibatch modes (train_node_emb.py:52-56): full-batch (default;
+    the shipped graphs are <=60k nodes), a GraphSAINT-style random-walk
+    sampler run ENTIRELY on device (stateless-RNG walks over a padded
+    neighbor table pick the node sample; the induced subgraph is a
+    membership mask over the full edge arrays — static shapes, no host
+    gather, same O(E) segment-sum with messages outside the sample
+    zeroed), and the NeighborSampler mode (per-epoch shuffled seed-node
+    batches; the sampled bipartite adjacency is an EDGE mask over the
+    full arrays — preprocess.py:87-106),
   * greedy coordinate-descent hyperparameter search over the reference's
     spaces (train_node_emb.py:146-172, config_prepare_dataset.py:46-55),
   * optional loss-curve + ROC-curve plot artifacts (utils.py:117-192).
@@ -64,7 +66,8 @@ def init_gnn_params(key, n_feat: int, n_hid: int, n_out: int):
             "conv2": _linear(k2, n_hid, n_out)}
 
 
-def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None):
+def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None,
+               edge_mask=None):
     """One round of neighbor aggregation over directed edges (src -> dst).
 
     With `member` (float (n,) 0/1 mask) the aggregation runs on the induced
@@ -72,25 +75,39 @@ def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None):
     features only, messages along member-member edges only, GCN degrees
     recomputed within the sample — the GraphSAINT minibatch as a mask
     instead of a host-side node re-indexing (static shapes for XLA).
+
+    With `edge_mask` (float (n_edges,) 0/1) only the masked EDGES carry
+    messages while every node keeps its self term — the NeighborSampler
+    minibatch (reference: preprocess.py:87-106, bipartite sampled
+    adjacency) as a mask over the full static edge arrays; GCN degrees
+    are the masked in-degrees.
     """
     if member is not None:
         x = x * member[:, None]
     if conv_type == "gin":
-        nbr = jax.ops.segment_sum(x[src], dst, num_segments=n_nodes)
+        msgs = x[src]
+        if edge_mask is not None:
+            msgs = msgs * edge_mask[:, None]
+        nbr = jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
         out = x + nbr
         return out if member is None else out * member[:, None]
     # gcn: D^-1/2 (A + I) D^-1/2 (degrees within the sample when masked)
     if member is not None:
         deg = jax.ops.segment_sum(member[src], dst, num_segments=n_nodes)
+    elif edge_mask is not None:
+        deg = jax.ops.segment_sum(edge_mask, dst, num_segments=n_nodes)
     norm = jax.lax.rsqrt(deg + 1.0)
     msgs = (x * norm[:, None])[src]
+    if edge_mask is not None:
+        msgs = msgs * edge_mask[:, None]
     out = jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
     out = (out + x * norm[:, None]) * norm[:, None]
     return out if member is None else out * member[:, None]
 
 
 def gnn_forward(params, x, src, dst, n_nodes, conv_type, deg, *,
-                dropout=0.0, train=False, rng=None, member=None):
+                dropout=0.0, train=False, rng=None, member=None,
+                edge_mask=None):
     w1, b1 = params["conv1"]["w"], params["conv1"]["b"]
     if x.shape[1] > w1.shape[1]:
         # project-first: aggregation and the linear map commute
@@ -98,15 +115,17 @@ def gnn_forward(params, x, src, dst, n_nodes, conv_type, deg, *,
         # row-wise), so aggregating the PROJECTED features moves the
         # (n_edges, d) gather from d=n_feat to d=hidden — at 100k nodes
         # with 256-dim features this halves the layer-1 HBM traffic
-        h = _aggregate(x @ w1, src, dst, n_nodes, conv_type, deg, member)
+        h = _aggregate(x @ w1, src, dst, n_nodes, conv_type, deg, member,
+                       edge_mask)
         h = jax.nn.relu(h + b1)
     else:
-        h = _aggregate(x, src, dst, n_nodes, conv_type, deg, member)
+        h = _aggregate(x, src, dst, n_nodes, conv_type, deg, member,
+                       edge_mask)
         h = jax.nn.relu(h @ w1 + b1)
     if train and dropout > 0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
         h = jnp.where(keep, h / (1.0 - dropout), 0.0)
-    h = _aggregate(h, src, dst, n_nodes, conv_type, deg, member)
+    h = _aggregate(h, src, dst, n_nodes, conv_type, deg, member, edge_mask)
     return h @ params["conv2"]["w"] + params["conv2"]["b"]
 
 
@@ -149,6 +168,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                           seed: int = 0, features: str = "one_hot",
                           minibatch: str = "full", batch_size: int = 512,
                           walk_length: int = 32, num_steps: int = 32,
+                          nb_size: int = -1,
                           plots_dir: Optional[str | Path] = None,
                           log_every: int = 0,
                           mesh=None) -> Tuple[np.ndarray, Dict]:
@@ -157,7 +177,18 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     minibatch='graphsaint' trains each step on the induced subgraph of the
     nodes visited by `batch_size` device random walks of `walk_length`
     (num_steps minibatches per epoch, reference train_node_emb.py:52-56);
-    'full' is one full-graph step per epoch.
+    'neighbor' is the reference's third mode (PyG NeighborSampler,
+    train_node_emb.py:52-53 + preprocess.py:87-106): each epoch shuffles
+    the nodes into ceil(n/batch_size) seed batches and each step trains
+    on the bipartite graph of the seeds' incoming edges — realized here
+    as an EDGE mask over the full static arrays (seed-destination edges
+    carry messages, every node keeps its self term), matching the
+    reference's one sampled adjacency reused by both conv layers. The
+    shipped nb_size=-1 (config_prepare_dataset.py:52, all neighbors) is
+    exact; nb_size>0 thins each seed's in-edges i.i.d. with probability
+    nb_size/deg instead of exactly-nb_size-without-replacement (static
+    shapes; expected fan-in matches). 'full' is one full-graph step per
+    epoch.
 
     With a mesh the SpMM distributes (SURVEY §2.3 'distributed SpMM'): the
     directed EDGE arrays shard over every mesh device (features/params
@@ -294,7 +325,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss, rng
-    elif minibatch != "full":
+    elif minibatch not in ("full", "neighbor"):
         raise ValueError(minibatch)
 
     # Fused training loops: over the axon tunnel every host dispatch costs
@@ -322,6 +353,82 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
             return params, opt_state, losses
 
         run_chunk, run_data = saint_run_chunk, saint_data
+    elif minibatch == "neighbor":
+        n_batches = -(-n // batch_size)
+        pad_n = n_batches * batch_size - n
+        # static negative count: the reference draws sampled_train//4 per
+        # batch (train_node_emb.py:63); in expectation a seed batch samples
+        # 2*|train|*batch_size/n directed train edges (each undirected
+        # train edge fires once per seed endpoint), so num_neg ~ that // 4
+        n_neg_nbr = max(2 * int(train_pos.shape[1]) * batch_size
+                        // (4 * n), 1)
+
+        @functools.partial(jax.jit, static_argnames=("n_epochs",))
+        def neighbor_run_chunk(params, opt_state, rng, data, *, n_epochs):
+            x_, src_, dst_, deg_, train_pos_ = data
+            dst_c = jnp.minimum(dst_, n)  # mesh edge-padding uses dst=n
+
+            def epoch_body(carry, _):
+                def step_body(c, seeds):
+                    p, o, r = c
+                    r, kd, kt, kn1, kn2 = jax.random.split(r, 5)
+                    # (n+1,) 0/1 over node ids; slot n (seed padding of the
+                    # last batch + mesh edge padding) forced to 0
+                    mask = (jnp.zeros(n + 1).at[seeds].set(1.0)
+                            .at[n].set(0.0))
+                    emask = mask[dst_c]  # incoming edges of the seeds
+                    if nb_size > 0:
+                        keep_p = jnp.minimum(1.0, nb_size / jnp.maximum(
+                            deg_[jnp.minimum(dst_c, n - 1)], 1.0))
+                        emask = emask * jax.random.bernoulli(
+                            kt, keep_p).astype(emask.dtype)
+                    # negatives among sampled nodes (the renumbered-subgraph
+                    # negative_sampling analog); the seed array is the
+                    # fixed-size candidate pool
+                    neg = jnp.stack([
+                        seeds[jax.random.randint(kn1, (n_neg_nbr,), 0,
+                                                 batch_size)],
+                        seeds[jax.random.randint(kn2, (n_neg_nbr,), 0,
+                                                 batch_size)]])
+                    neg = jnp.clip(neg, 0, n - 1)
+                    seed_mask = mask[:n]
+
+                    def loss_fn(pp):
+                        emb = gnn_forward(pp, x_, src_, dst_, n, conv_type,
+                                          deg_, dropout=dropout, train=True,
+                                          rng=kd, edge_mask=emask)
+                        # an undirected train edge is sampled once per seed
+                        # endpoint (twice when both ends are seeds), like
+                        # the reference's directed e_id train mask
+                        w_pos = (seed_mask[train_pos_[0]]
+                                 + seed_mask[train_pos_[1]])
+                        pos_s = _edge_scores(emb, train_pos_)
+                        neg_s = _edge_scores(emb, neg)
+                        eps = 1e-7
+                        pos_term = -(w_pos * jnp.log(pos_s + eps)).sum()
+                        neg_term = -jnp.log(1 - neg_s + eps).sum()
+                        return ((pos_term + neg_term)
+                                / (w_pos.sum() + n_neg_nbr))
+
+                    loss, grads = jax.value_and_grad(loss_fn)(p)
+                    updates, o = tx.update(grads, o, p)
+                    return (optax.apply_updates(p, updates), o, r), loss
+
+                p, o, r = carry
+                r, kp = jax.random.split(r)
+                perm = jax.random.permutation(kp, n).astype(jnp.int32)
+                batches = jnp.concatenate(
+                    [perm, jnp.full((pad_n,), n, jnp.int32)]
+                ).reshape(n_batches, batch_size)
+                (p, o, r), losses = jax.lax.scan(step_body, (p, o, r),
+                                                 batches)
+                return (p, o, r), losses.mean()
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                epoch_body, (params, opt_state, rng), None, length=n_epochs)
+            return params, opt_state, losses
+
+        run_chunk, run_data = neighbor_run_chunk, data
     else:
         @functools.partial(jax.jit, static_argnames=("n_epochs",))
         def full_run_chunk(params, opt_state, rng, data, *, n_epochs):
@@ -419,6 +526,7 @@ SEARCH_SPACES = {
     "dropout": [0.4, 0.5],
     "walk_length": [32],
     "num_steps": [32],
+    "nb_size": [-1],  # POSSIBLE_NB_SIZE (NeighborSampler mode only)
 }
 
 
@@ -436,6 +544,9 @@ def greedy_hyperparam_search(graph: CSRGraph, *, conv_type: str = "gin",
     spaces = dict(SEARCH_SPACES)
     if minibatch != "graphsaint":
         spaces.pop("walk_length"); spaces.pop("num_steps")
+    if minibatch != "neighbor":
+        spaces.pop("nb_size", None)
+    if minibatch == "full":
         spaces.pop("batch_size")
     shuffler = pyrandom.Random(seed)
     current = {k: v[0] for k, v in spaces.items()}

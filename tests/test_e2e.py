@@ -245,6 +245,55 @@ def test_node_emb_graphsaint_minibatch(density_dataset):
     assert metrics["val_auc"] > 0.6, metrics
 
 
+def test_node_emb_neighbor_minibatch(density_dataset):
+    """The reference's third minibatch mode (PyG NeighborSampler,
+    train_node_emb.py:52-53): per-epoch shuffled seed batches, training on
+    the seeds' incoming edges, learns link structure (VERDICT r2 task 4)."""
+    from subgnn_tpu.prepare.node_emb import train_node_embeddings
+    from subgnn_tpu.data.graph import CSRGraph
+    root, task_dir, _, _ = density_dataset
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    emb, metrics = train_node_embeddings(
+        g, conv_type="gin", hidden=32, out_dim=16, epochs=6, seed=0,
+        minibatch="neighbor", batch_size=16)
+    assert emb.shape == (g.n_nodes, 16)
+    assert metrics["val_auc"] > 0.6, metrics
+
+
+def test_node_emb_edge_mask_semantics(density_dataset):
+    """The NeighborSampler edge-mask formulation matches the reference's
+    bipartite sampled graph (preprocess.py:87-106): an all-ones mask is the
+    full forward (every node a seed, nb_size=-1 keeps all in-edges), and a
+    masked-out destination keeps only its self term in layer 1."""
+    import jax.numpy as jnp
+    import numpy as np
+    from subgnn_tpu.prepare.node_emb import gnn_forward, init_gnn_params
+    import jax
+
+    # tiny graph: 0-1, 1-2 (directed both ways)
+    src = jnp.array([0, 1, 1, 2], jnp.int32)
+    dst = jnp.array([1, 0, 2, 1], jnp.int32)
+    n = 3
+    deg = jnp.array([1.0, 2.0, 1.0])
+    x = jnp.eye(n)
+    params = init_gnn_params(jax.random.PRNGKey(0), n, 8, 4)
+    for conv in ("gin", "gcn"):
+        full = gnn_forward(params, x, src, dst, n, conv, deg)
+        ones = gnn_forward(params, x, src, dst, n, conv, deg,
+                           edge_mask=jnp.ones(4))
+        np.testing.assert_allclose(np.asarray(full), np.asarray(ones),
+                                   rtol=1e-6)
+    # seeds = {0}: only the edge 1->0 carries; node 2's GIN layer-1
+    # pre-activation is its bare self feature projected
+    emask = jnp.array([0.0, 1.0, 0.0, 0.0])
+    out = gnn_forward(params, x, src, dst, n, "gin", deg, edge_mask=emask)
+    w1, b1 = params["conv1"]["w"], params["conv1"]["b"]
+    w2, b2 = params["conv2"]["w"], params["conv2"]["b"]
+    h2 = jax.nn.relu(x[2] @ w1 + b1)
+    np.testing.assert_allclose(np.asarray(out[2]),
+                               np.asarray(h2 @ w2 + b2), rtol=1e-6)
+
+
 def test_node_emb_greedy_search(density_dataset, monkeypatch):
     """Greedy coordinate descent sweeps every value of every type and
     returns the best-val-acc configuration (train_node_emb.py:146-172);
