@@ -213,3 +213,25 @@ def test_predict_request_count_never_retraces(mini_root):
         assert len(r["pred"]) == len(node_lists)
     assert pipe._predict_fwd._cache_size() == 1, \
         pipe._predict_fwd._cache_size()
+
+
+def test_reproduce_real_harness_dry_run():
+    """The one-command real-dataset reproduction harness
+    (scripts/reproduce_real.py, VERDICT r2 task 5) executes end-to-end on
+    the miniature reference-format fixture: loader validation -> precompute
+    -> frozen-config training (the reference ppi_bp hyperparams, shrunk) ->
+    multi-seed test -> comparison table. The day the real datasets exist
+    under data/, the same command reproduces all four tasks unattended."""
+    import subprocess
+    import sys
+
+    repo = Path(__file__).parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "reproduce_real.py"),
+         "-mini"], capture_output=True, text=True, timeout=900,
+        cwd=repo, env={**__import__("os").environ,
+                       "PYTHONPATH": str(repo), "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MINI-FIXTURE" in out.stdout
+    tail = json.loads(out.stdout.strip().splitlines()[-1])
+    assert tail["ran"] == ["MINI-FIXTURE"] and tail["skipped"] == []
