@@ -1,0 +1,143 @@
+"""Seed-averaged HPO: TPE where each trial's objective is the mean
+best-val metric over several TRAINING seeds (VERDICT r2 tasks 1 & 7).
+
+Round 2 measured the failure mode of the reference's single-seed
+protocol on 250-subgraph synthetics: the val split has 25 examples, so a
+40-trial study reliably finds configs whose single-seed best-val is 0.88+
+but whose 10-seed retest is BELOW the frozen reference config (cutratio
+searched 0.580 vs frozen-S 0.660). Averaging each trial over `-hpo_seeds`
+training seeds shrinks the val noise the sampler can exploit by
+sqrt(k) — a framework capability beyond the reference protocol
+(documented deviation; the reference fixes seed=3 per trial,
+train_config.py:64).
+
+Search space = the DEEP space over one pinned channel subset (the
+reference winning region: run_synthetic_protocol.py -deep -channels),
+then the winner retests with the full 10-seed protocol at -retest_epochs.
+
+Usage (CPU):
+  PYTHONPATH=/root/repo python scripts/seed_avg_search.py -task cutratio250 \
+      -property cut_ratio -channels S -trials 40 -hpo_seeds 3
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-task", required=True)
+    ap.add_argument("-property", required=True,
+                    choices=["density", "cut_ratio", "coreness", "cc"])
+    ap.add_argument("-channels", default="S",
+                    help="pinned channel subset (e.g. S, P, NSP)")
+    ap.add_argument("-trials", type=int, default=40)
+    ap.add_argument("-hpo_seeds", type=int, default=3,
+                    help="training seeds averaged per trial")
+    ap.add_argument("-search_epochs", type=int, default=200)
+    ap.add_argument("-retest_epochs", type=int, default=500)
+    ap.add_argument("-retest_seeds", type=int, default=10)
+    ap.add_argument("-gen_seed", type=int, default=42)
+    ap.add_argument("-n", type=int, default=1000)
+    ap.add_argument("-project_root", default="data")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from subgnn_tpu.cli.prepare_dataset import prepare
+    from subgnn_tpu.cli.test import run_seeds
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train.hpo import Study
+    from subgnn_tpu.train.runner import SubGNNPipeline
+
+    root = Path(args.project_root)
+    task_dir = root / args.task
+    if not (task_dir / "subgraphs.pth").exists():
+        prepare(task_dir, args.property, seed=args.gen_seed, emb_epochs=100,
+                n=args.n, n_subgraphs=250, n_subgraph_nodes=20)
+
+    subset = set(args.channels.upper())
+    assert subset <= {"N", "S", "P"} and subset, args.channels
+    base = dict(
+        max_epochs=args.search_epochs,
+        use_neighborhood="N" in subset, use_structure="S" in subset,
+        use_position="P" in subset,
+        structure_patch_type="triangular_random_walk",
+        lstm_aggregator="last", resample_anchor_patches=False,
+        freeze_node_embeds=False, use_mpn_projection=True,
+        compute_similarities=False, sample_walk_len=50,
+        n_triangular_walks=5, random_walk_len=10, rw_beta=0.65,
+        max_sim_epochs=5, embedding_type="gin",
+        n_anchor_patches_pos_out=60, n_anchor_patches_pos_in=30,
+        n_anchor_patches_N_in=10, n_anchor_patches_N_out=30,
+        linear_hidden_dim_1=64, linear_hidden_dim_2=32,
+    )
+    rc = RunConfig(task=args.task, project_root=root)
+
+    def objective(trial):
+        # the deep space of run_synthetic_protocol.py -deep
+        p = {
+            "learning_rate": trial.suggest_float("learning_rate", 3e-4,
+                                                 1e-2, log=True),
+            "grad_clip": trial.suggest_float("grad_clip", 0.0, 0.5),
+            "cc_aggregator": trial.suggest_categorical("cc_aggregator",
+                                                       ["sum", "max"]),
+            "lin_dropout": trial.suggest_float("lin_dropout", 0.0, 0.4),
+            "trainable_cc": trial.suggest_categorical("trainable_cc",
+                                                      [True, False]),
+            "n_layers": trial.suggest_int("n_layers", 1, 4),
+            "batch_size": trial.suggest_categorical("batch_size", [64, 128]),
+            "n_anchor_patches_structure":
+                trial.suggest_int("n_anchor_patches_structure", 15, 45),
+            "lstm_n_layers": trial.suggest_int("lstm_n_layers", 1, 2),
+            "lstm_dropout": trial.suggest_float("lstm_dropout", 0.0, 0.3),
+        }
+        vals = []
+        for s in range(args.hpo_seeds):
+            hp = HParams.from_dict({**base, **p, "seed": s})
+            out = SubGNNPipeline(rc, hp).run(log_fn=None)
+            vals.append(float(out["best_monitor"]))
+        m = float(np.mean(vals))
+        print(f"trial {len(study.trials)}: seed-mean {m:.4f} "
+              f"(per-seed {[round(v, 3) for v in vals]}) {p}", flush=True)
+        return m
+
+    study_dir = root / "tb" / f"{args.task}_seedavg_{args.channels}"
+    study_dir.mkdir(parents=True, exist_ok=True)
+    study = Study(study_dir / "study.json", direction="maximize",
+                  sampler="tpe", seed=0)
+    study.optimize(objective, args.trials)
+    best = study.best_trial
+    print("BEST:", best["number"], best["value"],
+          json.dumps(best["params"], default=float), flush=True)
+
+    hyp = dict(base)
+    hyp.update(best["params"])
+    hyp["max_epochs"] = args.retest_epochs
+    tag = f"{args.task}_seedavg_{args.channels}"
+    tracked = REPO / "configs" / "best" / f"{tag}_hyperparams.json"
+    tracked.parent.mkdir(parents=True, exist_ok=True)
+    tracked.write_text(json.dumps(hyp, indent=2))
+    res = run_seeds(args.task, str(root), str(tracked),
+                    n_seeds=args.retest_seeds,
+                    out_dir=str(root / "results" /
+                                f"{tag}_{args.retest_seeds}seeds"),
+                    log_fn=lambda m: print(m, flush=True)
+                    if m.startswith("seed") else None)
+    print("FINAL:", json.dumps({"task": args.task, "channels": args.channels,
+                                "hpo_seeds": args.hpo_seeds,
+                                "micro_f1_mean": res["micro_f1_mean"],
+                                "micro_f1_sd": res["micro_f1_sd"],
+                                "auroc_mean": res["auroc_mean"]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
