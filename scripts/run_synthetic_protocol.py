@@ -152,7 +152,7 @@ def main():
     # belong in version control
     tracked = REPO / "configs" / "best" / f"{args.task}{suffix}_hyperparams.json"
     tracked.parent.mkdir(parents=True, exist_ok=True)
-    tracked.write_text(json.dumps(hyp, indent=2))
+    tracked.write_text(json.dumps(hyp, indent=2) + "\n")
     res = run_seeds(args.task, str(root), str(out_dir / "hyperparams.json"),
                     n_seeds=args.seeds,
                     out_dir=str(root / "results" /

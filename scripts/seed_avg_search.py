@@ -125,7 +125,7 @@ def main():
     tag = f"{args.task}_seedavg_{args.channels}"
     tracked = REPO / "configs" / "best" / f"{tag}_hyperparams.json"
     tracked.parent.mkdir(parents=True, exist_ok=True)
-    tracked.write_text(json.dumps(hyp, indent=2))
+    tracked.write_text(json.dumps(hyp, indent=2) + "\n")
     res = run_seeds(args.task, str(root), str(tracked),
                     n_seeds=args.retest_seeds,
                     out_dir=str(root / "results" /
