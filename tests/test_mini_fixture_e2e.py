@@ -235,3 +235,38 @@ def test_reproduce_real_harness_dry_run():
     assert "MINI-FIXTURE" in out.stdout
     tail = json.loads(out.stdout.strip().splitlines()[-1])
     assert tail["ran"] == ["MINI-FIXTURE"] and tail["skipped"] == []
+
+
+def test_reproduce_real_validation_reports_problems(tmp_path):
+    """validate_task returns precise problems instead of crashing: missing
+    files, unreadable edge list, embedding-row/node-count mismatch."""
+    import importlib.util
+    import sys
+
+    repo = Path(__file__).parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "reproduce_real", repo / "scripts" / "reproduce_real.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["reproduce_real"] = mod
+    spec.loader.exec_module(mod)
+
+    d = tmp_path / "task"
+    d.mkdir()
+    probs = mod.validate_task(d, {})
+    assert any("edge_list.txt" in p for p in probs)
+    assert any("subgraphs.pth" in p for p in probs)
+    assert any("gin_embeddings" in p for p in probs)
+
+    # unreadable subgraphs: edge list fine, TSV row too short
+    (d / "edge_list.txt").write_text("1 2\n2 3\n")
+    (d / "subgraphs.pth").write_text("1-2\n")
+    np.save(d / "gin_embeddings.npy", np.zeros((4, 8), np.float32))
+    probs = mod.validate_task(d, {})
+    assert any("subgraphs.pth unreadable" in p for p in probs)
+
+    # embeddings too short for the graph
+    (d / "subgraphs.pth").write_text(
+        "1-2\tA\ttrain\n2-3\tB\tval\n1-3\tA\ttest\n")
+    np.save(d / "gin_embeddings.npy", np.zeros((2, 8), np.float32))
+    probs = mod.validate_task(d, {})
+    assert any("rows" in p for p in probs)
