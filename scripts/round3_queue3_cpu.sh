@@ -6,7 +6,7 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo
 # 1. TPE real-objective A/B (VERDICT task 3, ~30 min)
-python -u scripts/validate_tpe.py -objective real -reps 3 -trials 40 -real_epochs 30
+python -u scripts/validate_tpe.py -objective real -reps 3 -trials 40 -real_epochs 8
 # 2. bf16-vs-fp32 parity at the headline configs (VERDICT task 6, ~1 h)
 python -u scripts/bf16_parity_sweep.py
 # 3. cutratio seed-averaged deep TPE + 10-seed retest (VERDICT task 7)
