@@ -67,10 +67,13 @@ def main():
                         n_anchor_patches_structure=15, n_triangular_walks=5,
                         random_walk_len=10, linear_hidden_dim_1=64,
                         linear_hidden_dim_2=32,
-                        # BENCH_DTYPE=bfloat16 measures the bf16-activation
-                        # step (fp32 master weights; quality parity in
-                        # RESULTS.md) for A/B against the fp32 default
-                        dtype=os.environ.get("BENCH_DTYPE", "float32"))
+                        # Production default: bf16 activations with fp32
+                        # master weights — end-metric parity measured on
+                        # ALL FOUR synthetic tasks x 10 seeds at the
+                        # headline frozen configs (bf16 >= fp32 on every
+                        # task, RESULTS.md bf16 parity table, round 3).
+                        # BENCH_DTYPE=float32 runs the fp32 A/B.
+                        dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
     model, hp, params, state, batch, anchors = ge._build_flagship(
         n_nodes=n_nodes, n_sub=B, C=C, L=16, n_pool=150,
         hp_overrides=hp_overrides)
@@ -157,6 +160,7 @@ def main():
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
         "anchor_patch_samples_per_s": round(sampler_rate, 1),
         "run_spread": [round(edges_per_step * iters / t, 1) for t in times],
+        "dtype": hp.dtype,
     }))
 
 
