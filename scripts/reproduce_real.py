@@ -129,6 +129,11 @@ def main():
         paper = {"mini": ("MINI-FIXTURE", float("nan"), float("nan"))}
     else:
         tasks = [t.strip() for t in args.tasks.split(",")]
+        unknown = [t for t in tasks if t not in PAPER]
+        for t in unknown:  # report + skip, never crash an unattended run
+            print(f"SKIP unknown task {t!r} (known: {', '.join(PAPER)})",
+                  flush=True)
+        tasks = [t for t in tasks if t in PAPER]
         root = Path(args.project_root)
         n_seeds = args.n_seeds
         configs = {t: REF / t / "hyperparams.json" for t in tasks}

@@ -1,4 +1,6 @@
 #!/bin/bash
+# ONE-SHOT session artifact: the PID below was bound at generation time
+# on the machine that launched it; do not re-run after a reboot.
 # Round-3 CPU queue #4: waits for the orphaned bf16 parity sweep (PID 7892),
 # then the time-trimmed seed-averaged searches (hpo_seeds 2, 150-epoch
 # trials — the de-saturated objective still averages away half the

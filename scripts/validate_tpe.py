@@ -134,9 +134,13 @@ def main():
     else:
         def objective(p):
             # noise keyed off the params so both samplers face the same
-            # stochastic surface, not the same draw sequence
-            h = abs(hash(tuple(sorted((k, str(v)) for k, v in p.items()))))
-            return surrogate_value(p, np.random.default_rng(h % 2**32))
+            # stochastic surface, not the same draw sequence; sha256, not
+            # hash() — the builtin is salted per process and would make
+            # the recorded validation numbers irreproducible
+            import hashlib
+            key = repr(sorted((k, str(v)) for k, v in p.items())).encode()
+            h = int.from_bytes(hashlib.sha256(key).digest()[:4], "big")
+            return surrogate_value(p, np.random.default_rng(h))
 
     for space in args.spaces.split(","):
         suggest = suggest_shallow if space == "shallow" else suggest_deep

@@ -39,7 +39,9 @@ def run_seeds(task: str, project_root: str, hyperparams_path: str,
         seeds = list(range(n_seeds))
     accs, f1s, aurocs = [], [], []
     for round_i, seed in enumerate(seeds):
-        hp = HParams.from_dict(dict(hyp, seed=seed, **(overrides or {})))
+        # per-round seed always wins (it IS the protocol); overrides may
+        # not collide with it (dict(**) would raise on a 'seed' key)
+        hp = HParams.from_dict({**hyp, **(overrides or {}), "seed": seed})
         if max_epochs is not None:
             hp = hp.replace(max_epochs=max_epochs)
         results_dir = out_dir / f"seed_{round_i}"

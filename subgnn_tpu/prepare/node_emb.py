@@ -384,13 +384,19 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                             kt, keep_p).astype(emask.dtype)
                     # negatives among sampled nodes (the renumbered-subgraph
                     # negative_sampling analog); the seed array is the
-                    # fixed-size candidate pool
-                    neg = jnp.stack([
+                    # fixed-size candidate pool. The LAST batch of each
+                    # epoch carries pad slots (id n): zero-WEIGHT negatives
+                    # that drew a pad endpoint instead of clipping them onto
+                    # a real node (clip would bias node n-1 into a standing
+                    # fake negative)
+                    neg_raw = jnp.stack([
                         seeds[jax.random.randint(kn1, (n_neg_nbr,), 0,
                                                  batch_size)],
                         seeds[jax.random.randint(kn2, (n_neg_nbr,), 0,
                                                  batch_size)]])
-                    neg = jnp.clip(neg, 0, n - 1)
+                    w_neg = ((neg_raw[0] < n) & (neg_raw[1] < n)).astype(
+                        jnp.float32)
+                    neg = jnp.minimum(neg_raw, n - 1)
                     seed_mask = mask[:n]
 
                     def loss_fn(pp):
@@ -406,9 +412,9 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                         neg_s = _edge_scores(emb, neg)
                         eps = 1e-7
                         pos_term = -(w_pos * jnp.log(pos_s + eps)).sum()
-                        neg_term = -jnp.log(1 - neg_s + eps).sum()
+                        neg_term = -(w_neg * jnp.log(1 - neg_s + eps)).sum()
                         return ((pos_term + neg_term)
-                                / (w_pos.sum() + n_neg_nbr))
+                                / (w_pos.sum() + w_neg.sum() + eps))
 
                     loss, grads = jax.value_and_grad(loss_fn)(p)
                     updates, o = tx.update(grads, o, p)
@@ -444,8 +450,18 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         run_chunk, run_data = full_run_chunk, data
 
     losses_all = []
-    for e0 in range(0, epochs, EPOCH_DISPATCH_CHUNK):
-        n_ep = min(EPOCH_DISPATCH_CHUNK, epochs - e0)
+    if minibatch == "neighbor":
+        # calibrate the dispatch size by STEP count, not epoch count: the
+        # known-safe envelope is graphsaint's 10 epochs x 32 steps; neighbor
+        # mode runs ceil(n/batch_size) full-edge-array steps PER EPOCH, so
+        # at 100k nodes / batch 512 an epoch is already ~196 steps and a
+        # 10-epoch dispatch would be the multi-minute class that kills the
+        # axon TPU worker (module comment above)
+        chunk = max(1, (EPOCH_DISPATCH_CHUNK * 32) // (-(-n // batch_size)))
+    else:
+        chunk = EPOCH_DISPATCH_CHUNK
+    for e0 in range(0, epochs, chunk):
+        n_ep = min(chunk, epochs - e0)
         # chunk 0 uses `key` itself so runs with epochs <= CHUNK are
         # bit-identical to the unchunked pre-change trainer; later chunks
         # get disjoint folded streams
