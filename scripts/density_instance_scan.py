@@ -1,0 +1,116 @@
+"""Scan fresh synthetic instance draws for their oracle ceiling.
+
+VERDICT r2 task 1 asks for "a fresh instance targeted to have a >=0.92
+ceiling": the paper's density number (0.919) was measured on ONE instance
+draw whose ceiling we cannot measure (no egress), while our draws' ceilings
+span 0.80-0.92 (RESULTS.md) — so a paper-vs-us comparison needs an
+instance whose label-consistency ceiling is at least as high as the score
+being matched. Generating a candidate graph + subgraphs costs seconds and
+the nearest-class-mean oracle (scripts/instance_oracle.py) needs nothing
+else, so scan MANY generator seeds first and only fully prepare
+(embeddings + metrics, minutes each) the highest-ceiling winners.
+
+    PYTHONPATH=/root/repo python scripts/density_instance_scan.py \
+        -seeds 46:66 [-property density] [-keep_top 2]
+
+Graph-only candidate dirs for non-winners are deleted unless -keep_all.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from scripts.instance_oracle import true_property  # noqa: E402
+
+
+def oracle_ceiling(task_dir: Path, prop: str) -> dict:
+    import networkx as nx
+    from subgnn_tpu.data.subgraphs import read_subgraphs
+
+    G = nx.read_edgelist(task_dir / "edge_list.txt", nodetype=int)
+    tr_G, tr_L, va_G, va_L, te_G, te_L, multilabel = read_subgraphs(
+        task_dir / "subgraphs.pth")
+    assert not multilabel
+
+    def props(subs):
+        return np.array([true_property(G, s, prop) for s in subs])
+
+    p_tr = props(tr_G)
+    classes = np.unique(tr_L)
+    means = np.array([p_tr[tr_L == c].mean() for c in classes])
+
+    def acc(p, y):
+        pred = classes[np.abs(p[:, None] - means[None, :]).argmin(1)]
+        return float((pred == y).mean())
+
+    return {"oracle_val_acc": acc(props(va_G), va_L),
+            "oracle_test_acc": acc(props(te_G), te_L),
+            "oracle_train_acc": acc(p_tr, tr_L)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-seeds", default="46:66",
+                    help="generator seed range lo:hi (hi exclusive) or "
+                         "comma list")
+    ap.add_argument("-property", default="density",
+                    choices=["density", "cut_ratio", "coreness", "cc"])
+    ap.add_argument("-task_prefix", default=None,
+                    help="candidate dir prefix (default <prop>250_s)")
+    ap.add_argument("-n", type=int, default=1000)
+    ap.add_argument("-n_subgraphs", type=int, default=250)
+    ap.add_argument("-n_subgraph_nodes", type=int, default=20)
+    ap.add_argument("-keep_top", type=int, default=2,
+                    help="keep the top-k candidate dirs, delete the rest")
+    ap.add_argument("-keep_all", action="store_true")
+    ap.add_argument("-project_root", default="data")
+    args = ap.parse_args()
+
+    from subgnn_tpu.prepare.synthetic import build_synthetic_dataset
+
+    if ":" in args.seeds:
+        lo, hi = (int(x) for x in args.seeds.split(":"))
+        seeds = list(range(lo, hi))
+    else:
+        seeds = [int(x) for x in args.seeds.split(",")]
+
+    short = {"density": "density", "cut_ratio": "cutratio",
+             "coreness": "coreness", "cc": "component"}[args.property]
+    prefix = args.task_prefix or f"{short}250_s"
+    root = Path(args.project_root)
+
+    rows = []
+    for s in seeds:
+        d = root / f"{prefix}{s}"
+        if not (d / "subgraphs.pth").exists():
+            build_synthetic_dataset(d, desired_property=args.property,
+                                    seed=s, n=args.n,
+                                    n_subgraphs=args.n_subgraphs,
+                                    n_subgraph_nodes=args.n_subgraph_nodes)
+        row = dict(seed=s, task=d.name, **oracle_ceiling(d, args.property))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    rows.sort(key=lambda r: (r["oracle_test_acc"], r["oracle_val_acc"]),
+              reverse=True)
+    print("SCAN_RANKED " + json.dumps(rows))
+    keep = {r["task"] for r in rows[:args.keep_top]}
+    if not args.keep_all:
+        for r in rows[args.keep_top:]:
+            shutil.rmtree(root / r["task"], ignore_errors=True)
+    print("SCAN_FINAL " + json.dumps(
+        {"winners": [r for r in rows[:args.keep_top]], "kept": sorted(keep),
+         "ceiling_span": [rows[-1]["oracle_test_acc"],
+                          rows[0]["oracle_test_acc"]]}))
+
+
+if __name__ == "__main__":
+    main()
