@@ -97,6 +97,45 @@ for t in "density250 density" "cutratio250 cut_ratio" "coreness5k coreness" \
   JAX_PLATFORMS=cpu python scripts/instance_oracle.py -task "$1" -property "$2"
 done
 
+# ---- round-3 rows ----------------------------------------------------------
+# density decomposition: per-channel frozen sweep + embedding-draw scan
+python -u scripts/density_channel_sweep.py
+python -u scripts/density_emb_sensitivity.py
+# instance-ceiling scans (fresh generator draws, graph-only candidates)
+JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -seeds 46:66 -keep_top 2
+JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -property cut_ratio -seeds 46:66 -keep_top 1
+JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -property cc -task_prefix component250_s -seeds 46:66 -keep_top 1
+JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -property coreness -task_prefix coreness5k_s -n 5000 -seeds 46:58 -keep_top 1
+# frozen configs on the perfect-ceiling winners (the DENSITY-closure rows)
+python -u - <<'EOF'
+from pathlib import Path
+from subgnn_tpu.cli.prepare_dataset import prepare
+from subgnn_tpu.cli.test import run_seeds
+REF = "/root/reference/best_model_hyperparameters"
+for task, seed, prop, cfg in [
+        ("density250_s52", 52, "density", f"{REF}/density/S_density_hyperparams.json"),
+        ("density250_s50", 50, "density", f"{REF}/density/S_density_hyperparams.json"),
+        ("cutratio250_s64", 64, "cut_ratio", f"{REF}/cutratio/S_cutratio_hyperparams.json")]:
+    d = Path("data") / task
+    if not (d / "gin_embeddings.npy").exists():
+        prepare(d, prop, seed=seed, generate_graph=False, conv="gin",
+                emb_dim=64, emb_epochs=100)
+    run_seeds(task, "data", cfg, n_seeds=10, max_epochs=500,
+              out_dir=f"data/results/{task}_Sref_500ep_10seeds")
+d = Path("data/coreness5k_s53")
+if not (d / "gin_embeddings.npy").exists():
+    prepare(d, "coreness", seed=53, generate_graph=False, conv="gin",
+            emb_dim=64, emb_epochs=100)
+run_seeds("coreness5k_s53", "data", "configs/best/coreness5k_hyperparams.json",
+          n_seeds=10, out_dir="data/results/coreness5k_s53_hpo_10seeds")
+EOF
+# bf16 end-metric parity (the bench-default justification)
+python -u scripts/bf16_parity_sweep.py
+# sampler validation + seed-averaged searches (configs/best/*_seedavg_*)
+python -u scripts/validate_tpe.py
+python -u scripts/seed_avg_search.py -task cutratio250 -property cut_ratio -channels S -trials 40 -hpo_seeds 2 -search_epochs 150
+python -u scripts/seed_avg_search.py -task density250_emb80s43 -property density -channels S -trials 25 -hpo_seeds 2 -search_epochs 150
+
 # ---- throughput (RESULTS "Throughput", PERF.md) --------------------------
 python bench.py
 python scripts/bench_stages.py
