@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-3 CPU queue #9 (chained after queue6): per-instance seed-averaged
+# search on the PERFECT-ceiling coreness instance (s53). The seed-42
+# winner config does NOT transfer to this draw (queue8: ~0.58 vs 0.812 on
+# its home instance) — matching the paper's methodology (per-instance
+# 50-trial HPO) means searching THIS instance. Channels pinned to NSP
+# (the home-instance winner's subset). HARVEST FINAL promptly.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo
+
+Q6_PID=$(cat logs/queue6.pid)
+while kill -0 "$Q6_PID" 2>/dev/null; do sleep 30; done
+
+python -u scripts/seed_avg_search.py -task coreness5k_s53 -property coreness \
+  -channels NSP -trials 40 -hpo_seeds 2 -search_epochs 120 -n 5000
+echo "=== ROUND3 QUEUE9 DONE ($(date)) ==="
