@@ -12,6 +12,10 @@ export PYTHONPATH=/root/repo
 Q6_PID=$(cat logs/queue6.pid)
 while kill -0 "$Q6_PID" 2>/dev/null; do sleep 30; done
 
+# retest at 120 epochs = the home-instance protocol that produced 0.812
+# (the tracked winner's own max_epochs), keeping the comparison apples-to-
+# apples and the 10-seed CPU retest tractable at 5k nodes
 python -u scripts/seed_avg_search.py -task coreness5k_s53 -property coreness \
-  -channels NSP -trials 40 -hpo_seeds 2 -search_epochs 120 -n 5000
+  -channels NSP -trials 40 -hpo_seeds 2 -search_epochs 120 \
+  -retest_epochs 120 -n 5000
 echo "=== ROUND3 QUEUE9 DONE ($(date)) ==="
