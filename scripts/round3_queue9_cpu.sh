@@ -9,8 +9,11 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo
 
-Q6_PID=$(cat logs/queue6.pid)
-while kill -0 "$Q6_PID" 2>/dev/null; do sleep 30; done
+# re-chained (2026-08-19): waits on queue5 directly; queue6's final
+# density-s52 search stage moved to queue10 AFTER this (s52 already beats
+# paper with the frozen config — its search is the lower-priority job)
+Q5_PID=$(cat logs/queue5.pid)
+while kill -0 "$Q5_PID" 2>/dev/null; do sleep 30; done
 
 # retest at 120 epochs = the home-instance protocol that produced 0.812
 # (the tracked winner's own max_epochs), keeping the comparison apples-to-
