@@ -55,6 +55,12 @@ def main():
     from subgnn_tpu.cli.test import run_seeds
 
     for task in args.tasks.split(","):
+        task = task.strip()
+        if task not in TASKS:
+            print(json.dumps({"task": task, "skipped":
+                              f"unknown task (known: {sorted(TASKS)})"}),
+                  flush=True)
+            continue
         inst, prop, cfg, gen_kwargs, max_epochs = TASKS[task]
         task_dir = Path(args.project_root) / inst
         if not (task_dir / "subgraphs.pth").exists():

@@ -59,7 +59,10 @@ def main():
         if not (vdir / "gin_embeddings.npy").exists():
             vdir.mkdir(parents=True, exist_ok=True)
             for f in GRAPH_FILES:
-                shutil.copy(base / f, vdir / f)
+                # shortest_path_matrix.npy is absent above
+                # _FULL_SP_MAX_NODES (rows path) — copy what exists
+                if (base / f).exists():
+                    shutil.copy(base / f, vdir / f)
             # graph-only artifacts: similarities do not depend on the
             # embeddings (NP = hop distances, S = degree-seq DTW)
             if (base / "similarities").exists() and \

@@ -28,32 +28,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-from scripts.instance_oracle import true_property  # noqa: E402
-
-
-def oracle_ceiling(task_dir: Path, prop: str) -> dict:
-    import networkx as nx
-    from subgnn_tpu.data.subgraphs import read_subgraphs
-
-    G = nx.read_edgelist(task_dir / "edge_list.txt", nodetype=int)
-    tr_G, tr_L, va_G, va_L, te_G, te_L, multilabel = read_subgraphs(
-        task_dir / "subgraphs.pth")
-    assert not multilabel
-
-    def props(subs):
-        return np.array([true_property(G, s, prop) for s in subs])
-
-    p_tr = props(tr_G)
-    classes = np.unique(tr_L)
-    means = np.array([p_tr[tr_L == c].mean() for c in classes])
-
-    def acc(p, y):
-        pred = classes[np.abs(p[:, None] - means[None, :]).argmin(1)]
-        return float((pred == y).mean())
-
-    return {"oracle_val_acc": acc(props(va_G), va_L),
-            "oracle_test_acc": acc(props(te_G), te_L),
-            "oracle_train_acc": acc(p_tr, tr_L)}
+# the ONE oracle implementation — shared with the per-task oracle rows
+from scripts.instance_oracle import oracle_ceiling  # noqa: E402
 
 
 def main():
@@ -105,7 +81,15 @@ def main():
     keep = {r["task"] for r in rows[:args.keep_top]}
     if not args.keep_all:
         for r in rows[args.keep_top:]:
-            shutil.rmtree(root / r["task"], ignore_errors=True)
+            d = root / r["task"]
+            # only GRAPH-ONLY candidates are disposable — a dir that has
+            # been fully prepared (embeddings trained, possibly hours of
+            # downstream artifacts) must never be silently rmtree'd by a
+            # wider re-scan that ranks a new seed above it
+            if any(d.glob("*_embeddings.*")):
+                print(f"keeping prepared instance {d} (not graph-only)")
+                continue
+            shutil.rmtree(d, ignore_errors=True)
     print("SCAN_FINAL " + json.dumps(
         {"winners": [r for r in rows[:args.keep_top]], "kept": sorted(keep),
          "ceiling_span": [rows[-1]["oracle_test_acc"],

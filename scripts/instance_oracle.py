@@ -45,25 +45,23 @@ def true_property(G, nodes, prop):
     raise SystemExit(f"unknown property {prop}")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("-task", required=True)
-    ap.add_argument("-property", required=True,
-                    choices=["density", "cut_ratio", "coreness", "cc"])
-    ap.add_argument("-project_root", default="data")
-    args = ap.parse_args()
+def oracle_ceiling(task_dir: str | Path, prop: str) -> dict:
+    """Nearest-class-mean oracle accuracies for one instance dir.
 
+    The single shared implementation — density_instance_scan.py imports
+    this so scan ceilings can never diverge from the per-task oracle rows
+    (both are pinned by tests/test_instance_oracle.py)."""
     import networkx as nx
     from subgnn_tpu.data.subgraphs import read_subgraphs
 
-    task_dir = Path(args.project_root) / args.task
+    task_dir = Path(task_dir)
     G = nx.read_edgelist(task_dir / "edge_list.txt", nodetype=int)
     tr_G, tr_L, va_G, va_L, te_G, te_L, multilabel = read_subgraphs(
         task_dir / "subgraphs.pth")
     assert not multilabel, "oracle supports single-label synthetics"
 
     def props(subs):
-        return np.array([true_property(G, s, args.property) for s in subs])
+        return np.array([true_property(G, s, prop) for s in subs])
 
     p_tr, p_va, p_te = props(tr_G), props(va_G), props(te_G)
     classes = np.unique(tr_L)
@@ -73,8 +71,7 @@ def main():
         pred = classes[np.abs(p[:, None] - means[None, :]).argmin(1)]
         return float((pred == y).mean())
 
-    out = {
-        "task": args.task, "property": args.property,
+    return {
         "class_property_means": {int(c): float(m)
                                  for c, m in zip(classes, means)},
         "oracle_train_acc": acc(p_tr, tr_L),
@@ -82,6 +79,19 @@ def main():
         "oracle_test_acc": acc(p_te, te_L),
         "n": {"train": len(tr_G), "val": len(va_G), "test": len(te_G)},
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-task", required=True)
+    ap.add_argument("-property", required=True,
+                    choices=["density", "cut_ratio", "coreness", "cc"])
+    ap.add_argument("-project_root", default="data")
+    args = ap.parse_args()
+
+    out = dict(task=args.task, property=args.property,
+               **oracle_ceiling(Path(args.project_root) / args.task,
+                                args.property))
     print(json.dumps(out))
 
 

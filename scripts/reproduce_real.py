@@ -40,7 +40,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-REF = Path("/root/reference/best_model_hyperparameters")
+import os
+REF = Path(os.environ.get("SUBGNN_REF_HPARAMS",
+                          "/root/reference/best_model_hyperparameters"))
 # task dir -> (display name, paper micro-F1 mean, paper sd)
 PAPER = {
     "ppi_bp": ("PPI-BP", 0.599, 0.008),

@@ -106,26 +106,31 @@ JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -seeds 46:66 -keep_
 JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -property cut_ratio -seeds 46:66 -keep_top 1
 JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -property cc -task_prefix component250_s -seeds 46:66 -keep_top 1
 JAX_PLATFORMS=cpu python -u scripts/density_instance_scan.py -property coreness -task_prefix coreness5k_s -n 5000 -seeds 46:58 -keep_top 1
-# frozen configs on the perfect-ceiling winners (the DENSITY-closure rows)
+# frozen configs on the perfect-ceiling winners (the DENSITY-closure rows).
+# Self-healing: generation is seeded and deterministic, so a winner dir the
+# scans above did not keep (e.g. keep_top pruned it) regenerates in-place.
 python -u - <<'EOF'
 from pathlib import Path
 from subgnn_tpu.cli.prepare_dataset import prepare
 from subgnn_tpu.cli.test import run_seeds
 REF = "/root/reference/best_model_hyperparameters"
-for task, seed, prop, cfg in [
-        ("density250_s52", 52, "density", f"{REF}/density/S_density_hyperparams.json"),
-        ("density250_s50", 50, "density", f"{REF}/density/S_density_hyperparams.json"),
-        ("cutratio250_s64", 64, "cut_ratio", f"{REF}/cutratio/S_cutratio_hyperparams.json")]:
+for task, seed, prop, cfg, n in [
+        ("density250_s52", 52, "density",
+         f"{REF}/density/S_density_hyperparams.json", 1000),
+        ("density250_s50", 50, "density",
+         f"{REF}/density/S_density_hyperparams.json", 1000),
+        ("cutratio250_s64", 64, "cut_ratio",
+         f"{REF}/cutratio/S_cutratio_hyperparams.json", 1000),
+        ("coreness5k_s53", 53, "coreness", None, 5000)]:
     d = Path("data") / task
     if not (d / "gin_embeddings.npy").exists():
-        prepare(d, prop, seed=seed, generate_graph=False, conv="gin",
-                emb_dim=64, emb_epochs=100)
-    run_seeds(task, "data", cfg, n_seeds=10, max_epochs=500,
-              out_dir=f"data/results/{task}_Sref_500ep_10seeds")
-d = Path("data/coreness5k_s53")
-if not (d / "gin_embeddings.npy").exists():
-    prepare(d, "coreness", seed=53, generate_graph=False, conv="gin",
-            emb_dim=64, emb_epochs=100)
+        prepare(d, prop, seed=seed,
+                generate_graph=not (d / "subgraphs.pth").exists(),
+                conv="gin", emb_dim=64, emb_epochs=100,
+                n=n, n_subgraphs=250, n_subgraph_nodes=20)
+    if cfg is not None:
+        run_seeds(task, "data", cfg, n_seeds=10, max_epochs=500,
+                  out_dir=f"data/results/{task}_Sref_500ep_10seeds")
 run_seeds("coreness5k_s53", "data", "configs/best/coreness5k_hyperparams.json",
           n_seeds=10, out_dir="data/results/coreness5k_s53_hpo_10seeds")
 EOF

@@ -10,7 +10,8 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo
 
-SCAN_PID=$(cat logs/density_scan.pid)
+SCAN_PID=$(cat logs/density_scan.pid 2>/dev/null)
+[ -n "$SCAN_PID" ] || { echo "no logs/density_scan.pid — refusing concurrent start"; exit 1; }
 while kill -0 "$SCAN_PID" 2>/dev/null; do sleep 15; done
 
 python -u - <<'EOF'
@@ -44,7 +45,10 @@ for w in winners:
 EOF
 
 # deep seed-averaged search on the best winner once queue5's searches end
-Q5_PID=$(cat logs/queue5.pid)
+Q5_PID=$(cat logs/queue5.pid 2>/dev/null)
+# a missing/empty pid file must NOT mean "start now": two jobs on one
+# chip crashed the TPU worker once (CLAUDE.md). Refuse instead.
+[ -n "$Q5_PID" ] || { echo "no logs/queue5.pid — refusing concurrent start"; exit 1; }
 while kill -0 "$Q5_PID" 2>/dev/null; do sleep 30; done
 WINNER=$(python -c "
 import json, re

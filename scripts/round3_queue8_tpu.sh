@@ -8,7 +8,10 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-Q7_PID=$(cat logs/queue7.pid)
+Q7_PID=$(cat logs/queue7.pid 2>/dev/null)
+# a missing/empty pid file must NOT mean "start now": two jobs on one
+# chip crashed the TPU worker once (CLAUDE.md). Refuse instead.
+[ -n "$Q7_PID" ] || { echo "no logs/queue7.pid — refusing concurrent start"; exit 1; }
 while kill -0 "$Q7_PID" 2>/dev/null; do sleep 30; done
 
 python -u - <<'EOF'

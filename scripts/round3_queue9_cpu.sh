@@ -12,7 +12,10 @@ export PYTHONPATH=/root/repo
 # re-chained (2026-08-19): waits on queue5 directly; queue6's final
 # density-s52 search stage moved to queue10 AFTER this (s52 already beats
 # paper with the frozen config — its search is the lower-priority job)
-Q5_PID=$(cat logs/queue5.pid)
+Q5_PID=$(cat logs/queue5.pid 2>/dev/null)
+# a missing/empty pid file must NOT mean "start now": two jobs on one
+# chip crashed the TPU worker once (CLAUDE.md). Refuse instead.
+[ -n "$Q5_PID" ] || { echo "no logs/queue5.pid — refusing concurrent start"; exit 1; }
 while kill -0 "$Q5_PID" 2>/dev/null; do sleep 30; done
 
 # retest at 120 epochs = the home-instance protocol that produced 0.812

@@ -49,7 +49,8 @@ def precompute_graph_metrics(task_dir: Path, graph: CSRGraph,
 def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
             conv: str = "gin", emb_dim: int = 64, emb_epochs: int = 100,
             generate_graph: bool = True, generate_emb: bool = True,
-            emb_minibatch: str = "full", emb_search: bool = False,
+            emb_minibatch: str = "full", emb_nb_size: int = -1,
+            emb_search: bool = False,
             emb_plots: bool = False, log_fn=print, **gen_kwargs):
     task_dir = Path(out_dir)
     if generate_graph:
@@ -76,7 +77,7 @@ def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
         else:
             emb, metrics = train_node_embeddings(
                 graph, conv_type=conv, out_dim=emb_dim, epochs=emb_epochs,
-                seed=seed, minibatch=emb_minibatch,
+                seed=seed, minibatch=emb_minibatch, nb_size=emb_nb_size,
                 plots_dir=task_dir / "plots" if emb_plots else None)
         save_embeddings(task_dir, emb, conv)
         if log_fn:
@@ -101,6 +102,12 @@ def main():
     parser.add_argument("-emb_epochs", type=int, default=100)
     parser.add_argument("-emb_minibatch", type=str, default="full",
                         choices=["full", "graphsaint", "neighbor"])
+    parser.add_argument("-emb_nb_size", type=int, default=-1,
+                        help="neighbor mode only: per-seed in-edge budget "
+                             "(reference NB_SIZE, config_prepare_dataset"
+                             ".py:52; -1 = all neighbors, >0 thins i.i.d. "
+                             "at rate nb_size/deg — documented static-"
+                             "shape deviation)")
     parser.add_argument("--emb_search", action="store_true",
                         help="greedy coordinate-descent node-emb hparam "
                              "search (reference train_node_emb.py:146-172)")
@@ -112,7 +119,8 @@ def main():
     args = parser.parse_args()
     prepare(args.out, args.property, args.seed, args.conv, args.emb_dim,
             args.emb_epochs, generate_graph=not args.skip_graph,
-            emb_minibatch=args.emb_minibatch, emb_search=args.emb_search,
+            emb_minibatch=args.emb_minibatch, emb_nb_size=args.emb_nb_size,
+            emb_search=args.emb_search,
             emb_plots=args.emb_plots, n=args.n,
             **{k: v for k, v in (("n_subgraphs", args.n_subgraphs),
                                  ("n_subgraph_nodes", args.n_subgraph_nodes))

@@ -260,6 +260,26 @@ def test_node_emb_neighbor_minibatch(density_dataset):
     assert metrics["val_auc"] > 0.6, metrics
 
 
+def test_node_emb_neighbor_nb_size_thinning(density_dataset):
+    """nb_size>0 (the reference's NB_SIZE fan-in budget,
+    config_prepare_dataset.py:52) thins each seed's in-edges i.i.d. at
+    rate nb_size/deg — the documented static-shape deviation. The thinned
+    run must still learn link structure, and the knob is reachable through
+    prepare()'s emb_nb_size (cli/prepare_dataset.py)."""
+    import inspect
+    from subgnn_tpu.cli.prepare_dataset import prepare
+    from subgnn_tpu.prepare.node_emb import train_node_embeddings
+    from subgnn_tpu.data.graph import CSRGraph
+    root, task_dir, _, _ = density_dataset
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    emb, metrics = train_node_embeddings(
+        g, conv_type="gin", hidden=32, out_dim=16, epochs=6, seed=0,
+        minibatch="neighbor", batch_size=16, nb_size=2)
+    assert emb.shape == (g.n_nodes, 16)
+    assert metrics["val_auc"] > 0.6, metrics
+    assert "emb_nb_size" in inspect.signature(prepare).parameters
+
+
 def test_node_emb_edge_mask_semantics(density_dataset):
     """The NeighborSampler edge-mask formulation matches the reference's
     bipartite sampled graph (preprocess.py:87-106): an all-ones mask is the

@@ -222,8 +222,18 @@ def test_reproduce_real_harness_dry_run():
     -> frozen-config training (the reference ppi_bp hyperparams, shrunk) ->
     multi-seed test -> comparison table. The day the real datasets exist
     under data/, the same command reproduces all four tasks unattended."""
+    import os
     import subprocess
     import sys
+
+    # -mini shrinks the reference's frozen ppi_bp config; on a checkout
+    # without the (non-redistributable) reference repo the harness itself
+    # still works — only this dry-run's config source is absent
+    ref_cfg = os.environ.get(
+        "SUBGNN_REF_HPARAMS",
+        "/root/reference/best_model_hyperparameters")
+    if not Path(ref_cfg, "ppi_bp", "hyperparams.json").exists():
+        pytest.skip("reference best_model_hyperparameters not on disk")
 
     repo = Path(__file__).parents[1]
     out = subprocess.run(
