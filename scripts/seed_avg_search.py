@@ -15,9 +15,21 @@ Search space = the DEEP space over one pinned channel subset (the
 reference winning region: run_synthetic_protocol.py -deep -channels),
 then the winner retests with the full 10-seed protocol at -retest_epochs.
 
+`-channels auto` (VERDICT r3 task 1) searches the channel subset itself as
+a categorical over the 7 non-empty N/S/P combinations, with
+channel-conditional subspaces (S-params only suggested when S is active,
+etc.). The first 7 trials are stratified — one forced trial per subset —
+so TPE's startup covers every arm before it starts exploiting; round-3
+measurements showed the subset dominates every other hyperparameter
+(coreness5k_s53: frozen-S 0.880 vs searched-pinned-NSP 0.612). This
+mirrors the reference's protocol, which kept per-channel winner files
+(best_model_hyperparameters/<task>/{N,S,P,all}_*.json).
+
 Usage (CPU):
   PYTHONPATH=/root/repo python scripts/seed_avg_search.py -task cutratio250 \
       -property cut_ratio -channels S -trials 40 -hpo_seeds 3
+  PYTHONPATH=/root/repo python scripts/seed_avg_search.py -task coreness5k_s53 \
+      -property coreness -channels auto -trials 56 -hpo_seeds 3
 """
 from __future__ import annotations
 
@@ -45,6 +57,13 @@ def main():
     ap.add_argument("-search_epochs", type=int, default=200)
     ap.add_argument("-retest_epochs", type=int, default=500)
     ap.add_argument("-retest_seeds", type=int, default=10)
+    ap.add_argument("-objective", default="f1", choices=["f1", "f1_auroc"],
+                    help="per-seed trial score: best-val micro_f1 (the "
+                         "reference's monitor) or the best over epochs of "
+                         "mean(val_micro_f1, val_auroc) — round 3 measured "
+                         "best-val f1 SATURATING at 1.0 on 25-example val "
+                         "splits (RESULTS.md density s52); auroc is "
+                         "continuous and de-saturates the TPE signal")
     ap.add_argument("-gen_seed", type=int, default=42)
     ap.add_argument("-n", type=int, default=1000)
     ap.add_argument("-project_root", default="data")
@@ -64,12 +83,14 @@ def main():
         prepare(task_dir, args.property, seed=args.gen_seed, emb_epochs=100,
                 n=args.n, n_subgraphs=250, n_subgraph_nodes=20)
 
-    subset = set(args.channels.upper())
-    assert subset <= {"N", "S", "P"} and subset, args.channels
+    from subgnn_tpu.train.hpo import CHANNEL_SUBSETS, suggest_channels
+
+    auto_channels = args.channels.lower() == "auto"
+    if not auto_channels:
+        subset = set(args.channels.upper())
+        assert subset <= {"N", "S", "P"} and subset, args.channels
     base = dict(
         max_epochs=args.search_epochs,
-        use_neighborhood="N" in subset, use_structure="S" in subset,
-        use_position="P" in subset,
         structure_patch_type="triangular_random_walk",
         lstm_aggregator="last", resample_anchor_patches=False,
         freeze_node_embeds=False, use_mpn_projection=True,
@@ -83,8 +104,19 @@ def main():
     rc = RunConfig(task=args.task, project_root=root)
 
     def objective(trial):
+        if auto_channels:
+            # stratified startup: force one trial per subset before TPE's
+            # random-startup window ends, so every arm has data
+            n = len(study.trials)
+            if n < len(CHANNEL_SUBSETS):
+                trial.fixed["channel_subset"] = CHANNEL_SUBSETS[n]
+            p = suggest_channels(trial)
+        else:
+            p = {"use_neighborhood": "N" in subset,
+                 "use_structure": "S" in subset,
+                 "use_position": "P" in subset}
         # the deep space of run_synthetic_protocol.py -deep
-        p = {
+        p.update({
             "learning_rate": trial.suggest_float("learning_rate", 3e-4,
                                                  1e-2, log=True),
             "grad_clip": trial.suggest_float("grad_clip", 0.0, 0.5),
@@ -95,16 +127,41 @@ def main():
                                                       [True, False]),
             "n_layers": trial.suggest_int("n_layers", 1, 4),
             "batch_size": trial.suggest_categorical("batch_size", [64, 128]),
-            "n_anchor_patches_structure":
-                trial.suggest_int("n_anchor_patches_structure", 15, 45),
-            "lstm_n_layers": trial.suggest_int("lstm_n_layers", 1, 2),
-            "lstm_dropout": trial.suggest_float("lstm_dropout", 0.0, 0.3),
-        }
+        })
+        # channel-conditional subspaces: a param is only suggested (and only
+        # enters the TPE history) when its channel is active this trial
+        if p["use_structure"]:
+            p.update({
+                "n_anchor_patches_structure":
+                    trial.suggest_int("n_anchor_patches_structure", 15, 45),
+                "lstm_n_layers": trial.suggest_int("lstm_n_layers", 1, 2),
+                "lstm_dropout": trial.suggest_float("lstm_dropout", 0.0, 0.3),
+            })
+        if auto_channels and p["use_neighborhood"]:
+            p.update({
+                "n_anchor_patches_N_in":
+                    trial.suggest_int("n_anchor_patches_N_in", 5, 20),
+                "n_anchor_patches_N_out":
+                    trial.suggest_int("n_anchor_patches_N_out", 15, 45),
+            })
+        if auto_channels and p["use_position"]:
+            p.update({
+                "n_anchor_patches_pos_in":
+                    trial.suggest_int("n_anchor_patches_pos_in", 15, 50),
+                "n_anchor_patches_pos_out":
+                    trial.suggest_int("n_anchor_patches_pos_out", 30, 90),
+            })
         vals = []
         for s in range(args.hpo_seeds):
             hp = HParams.from_dict({**base, **p, "seed": s})
-            out = SubGNNPipeline(rc, hp).run(log_fn=None)
-            vals.append(float(out["best_monitor"]))
+            pipe = SubGNNPipeline(rc, hp)
+            out = pipe.run(log_fn=None)
+            if args.objective == "f1_auroc":
+                vals.append(max(
+                    (m.get("val_micro_f1", 0.0) + m.get("val_auroc", 0.0)) / 2
+                    for m in pipe.trainer.metric_scores))
+            else:
+                vals.append(float(out["best_monitor"]))
         m = float(np.mean(vals))
         print(f"trial {len(study.trials)}: seed-mean {m:.4f} "
               f"(per-seed {[round(v, 3) for v in vals]}) {p}", flush=True)
@@ -121,6 +178,10 @@ def main():
 
     hyp = dict(base)
     hyp.update(best["params"])
+    won = hyp.pop("channel_subset", None) if auto_channels \
+        else args.channels.upper()
+    hyp.update({"use_neighborhood": "N" in won, "use_structure": "S" in won,
+                "use_position": "P" in won})
     hyp["max_epochs"] = args.retest_epochs
     tag = f"{args.task}_seedavg_{args.channels}"
     tracked = REPO / "configs" / "best" / f"{tag}_hyperparams.json"
@@ -133,6 +194,7 @@ def main():
                     log_fn=lambda m: print(m, flush=True)
                     if m.startswith("seed") else None)
     print("FINAL:", json.dumps({"task": args.task, "channels": args.channels,
+                                "won_subset": won,
                                 "hpo_seeds": args.hpo_seeds,
                                 "micro_f1_mean": res["micro_f1_mean"],
                                 "micro_f1_sd": res["micro_f1_sd"],

@@ -45,8 +45,20 @@ def get_hyperparams_optuna(args, trial) -> dict:
     'gamma_shortest_max_distance_N' (train.py:163), and
     linear_hidden_dim_1/2 share the suggest name 'linear_hidden_dim'
     (train.py:176-177) so they always come out equal."""
+    if getattr(args, "opt_channels", False):
+        # extension over the reference space: the reference pinned the
+        # subset per search run and kept per-channel winner files
+        # (best_model_hyperparameters/<task>/{N,S,P,all}_*.json); here the
+        # subset is searched as one categorical (train/hpo.py
+        # suggest_channels)
+        from ..train.hpo import suggest_channels
+        channels = suggest_channels(trial)
+    else:
+        channels = dict(use_neighborhood=True, use_structure=False,
+                        use_position=False)
     return dict(
         seed=42,
+        **channels,
         batch_size=trial.suggest_int("batch_size", 64, 150),
         learning_rate=trial.suggest_float("learning_rate", 1e-5, 1e-3,
                                           log=True),
@@ -79,7 +91,6 @@ def get_hyperparams_optuna(args, trial) -> dict:
         lin_dropout=trial.suggest_float("lin_dropout", 0.0, 0.6),
         resample_anchor_patches=False, compute_similarities=False,
         use_mpn_projection=True,
-        use_neighborhood=True, use_structure=False, use_position=False,
         cc_aggregator=trial.suggest_categorical("cc_aggregator",
                                                 ["sum", "max"]),
         trainable_cc=trial.suggest_categorical("trainable_cc", [True, False]),
@@ -189,6 +200,10 @@ def main():
                         help="median-prune unpromising trials")
     parser.add_argument("-grid_search", action="store_true",
                         help="grid sampler over the reference's fixed space")
+    parser.add_argument("-opt_channels", action="store_true",
+                        help="search the channel subset (N/S/P combinations) "
+                             "as a categorical instead of the reference's "
+                             "pinned use_neighborhood-only space")
     parser.add_argument("-log_path", type=str, default=None,
                         help="study/results dir (defaults to tb_dir/tb_name)")
     # per-file path overrides (reference train.py:52-56)

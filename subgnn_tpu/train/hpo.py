@@ -157,6 +157,26 @@ def hyperparams_from_config(run_config, trial) -> Dict[str, Any]:
     return hyp
 
 
+# The reference's protocol searched hyperparameters PER channel subset and
+# kept per-channel winner files (best_model_hyperparameters/<task>/
+# {N,S,P,all}_*.json) — channel selection was part of its search, outside
+# optuna. Round-3 measurements showed the subset dominates everything else
+# (coreness5k_s53: frozen-S 0.880 vs searched-NSP 0.612), so here the subset
+# is a first-class categorical hyperparameter instead.
+CHANNEL_SUBSETS = ("S", "N", "P", "NS", "SP", "NP", "NSP")
+
+
+def suggest_channels(trial, subsets=CHANNEL_SUBSETS) -> Dict[str, Any]:
+    """Suggest the active channel subset as one categorical and return the
+    three HParams toggles. Callers gate channel-specific suggests on the
+    returned flags so TPE sees channel-conditional subspaces (a parameter
+    absent from a trial is simply skipped by the univariate estimator)."""
+    sub = trial.suggest_categorical("channel_subset", list(subsets))
+    return {"use_neighborhood": "N" in sub,
+            "use_structure": "S" in sub,
+            "use_position": "P" in sub}
+
+
 def _grid_points(space: Dict[str, List[Any]]) -> List[Dict[str, Any]]:
     keys = list(space)
     points: List[Dict[str, Any]] = [{}]
