@@ -50,7 +50,7 @@ def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
             conv: str = "gin", emb_dim: int = 64, emb_epochs: int = 100,
             generate_graph: bool = True, generate_emb: bool = True,
             emb_minibatch: str = "full", emb_nb_size: int = -1,
-            emb_search: bool = False,
+            emb_nb_exact: bool = False, emb_search: bool = False,
             emb_plots: bool = False, log_fn=print, **gen_kwargs):
     task_dir = Path(out_dir)
     if generate_graph:
@@ -69,7 +69,9 @@ def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
         if emb_search:
             emb, metrics, best_hp = greedy_hyperparam_search(
                 graph, conv_type=conv, minibatch=emb_minibatch,
-                epochs=emb_epochs, seed=seed, log_fn=log_fn)
+                epochs=emb_epochs, seed=seed,
+                nb_size=(emb_nb_size if emb_nb_size != -1 else None),
+                nb_exact=emb_nb_exact, log_fn=log_fn)
             (task_dir / "node_emb_hyperparams.json").write_text(
                 json.dumps(best_hp, indent=2))
             if log_fn:
@@ -78,6 +80,7 @@ def prepare(out_dir: str, desired_property: str = "density", seed: int = 42,
             emb, metrics = train_node_embeddings(
                 graph, conv_type=conv, out_dim=emb_dim, epochs=emb_epochs,
                 seed=seed, minibatch=emb_minibatch, nb_size=emb_nb_size,
+                nb_exact=emb_nb_exact,
                 plots_dir=task_dir / "plots" if emb_plots else None)
         save_embeddings(task_dir, emb, conv)
         if log_fn:
@@ -106,8 +109,13 @@ def main():
                         help="neighbor mode only: per-seed in-edge budget "
                              "(reference NB_SIZE, config_prepare_dataset"
                              ".py:52; -1 = all neighbors, >0 thins i.i.d. "
-                             "at rate nb_size/deg — documented static-"
-                             "shape deviation)")
+                             "at rate nb_size/deg by default)")
+    parser.add_argument("--emb_nb_exact", action="store_true",
+                        help="with -emb_nb_size > 0: keep exactly "
+                             "min(nb_size, deg) in-edges per seed without "
+                             "replacement (the reference NeighborSampler "
+                             "distribution, preprocess.py:87-106) instead "
+                             "of the fast i.i.d. thinning")
     parser.add_argument("--emb_search", action="store_true",
                         help="greedy coordinate-descent node-emb hparam "
                              "search (reference train_node_emb.py:146-172)")
@@ -120,7 +128,7 @@ def main():
     prepare(args.out, args.property, args.seed, args.conv, args.emb_dim,
             args.emb_epochs, generate_graph=not args.skip_graph,
             emb_minibatch=args.emb_minibatch, emb_nb_size=args.emb_nb_size,
-            emb_search=args.emb_search,
+            emb_nb_exact=args.emb_nb_exact, emb_search=args.emb_search,
             emb_plots=args.emb_plots, n=args.n,
             **{k: v for k, v in (("n_subgraphs", args.n_subgraphs),
                                  ("n_subgraph_nodes", args.n_subgraph_nodes))

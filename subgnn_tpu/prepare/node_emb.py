@@ -161,6 +161,47 @@ def _edge_scores(emb, edges):
     return jax.nn.sigmoid((emb[edges[0]] * emb[edges[1]]).sum(axis=-1))
 
 
+def build_in_edge_table(dst: np.ndarray, n: int):
+    """Host-side routing for exact-k neighbor sampling: edge-array positions
+    of each node's incoming edges.
+
+    Returns (in_pos (n, max_in) int32 — positions into the directed edge
+    array, pad slots = len(dst); in_valid (n, max_in) bool). Edges with
+    dst >= n (mesh padding) are excluded. Memory O(n * max_in_degree) — the
+    same per-node neighbor-list footprint the reference's PyG
+    NeighborSampler keeps (preprocess.py:87-106).
+    """
+    dst = np.asarray(dst, np.int64)
+    E = len(dst)
+    idx = np.nonzero(dst < n)[0]
+    order = np.argsort(dst[idx], kind="stable")
+    positions = idx[order]
+    d_sorted = dst[idx][order]
+    indeg = np.bincount(d_sorted, minlength=n)
+    max_in = max(int(indeg.max()) if len(indeg) else 0, 1)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(indeg, out=offs[1:])
+    slot = np.arange(len(d_sorted), dtype=np.int64) - offs[d_sorted]
+    in_pos = np.full((n, max_in), E, np.int64)
+    in_pos[d_sorted, slot] = positions
+    return in_pos.astype(np.int32), (in_pos < E)
+
+
+def exact_k_edge_mask(key, in_pos, in_valid, k: int, E: int):
+    """(E,) 0/1 float mask keeping exactly min(k, in_degree) incoming edges
+    per node, uniformly WITHOUT replacement — the reference NeighborSampler
+    semantics (preprocess.py:87-106 sizes=[nb_size]) with static shapes:
+    per-slot uniform scores, per-row k-th order statistic as threshold,
+    scatter back to edge positions (each edge appears in exactly one row)."""
+    g = jax.random.uniform(key, in_pos.shape)
+    g = jnp.where(in_valid, g, jnp.inf)
+    kk = min(k, in_pos.shape[1])
+    kth = -jax.lax.top_k(-g, kk)[0][:, -1]  # k-th SMALLEST per row
+    sel = (g <= kth[:, None]) & in_valid
+    return jnp.zeros(E + 1).at[in_pos.reshape(-1)].add(
+        sel.reshape(-1).astype(jnp.float32))[:E]
+
+
 def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                           hidden: int = 128, out_dim: int = 64,
                           lr: float = 1e-3, weight_decay: float = 5e-4,
@@ -168,7 +209,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                           seed: int = 0, features: str = "one_hot",
                           minibatch: str = "full", batch_size: int = 512,
                           walk_length: int = 32, num_steps: int = 32,
-                          nb_size: int = -1,
+                          nb_size: int = -1, nb_exact: bool = False,
                           plots_dir: Optional[str | Path] = None,
                           log_every: int = 0,
                           mesh=None) -> Tuple[np.ndarray, Dict]:
@@ -185,10 +226,13 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     carry messages, every node keeps its self term), matching the
     reference's one sampled adjacency reused by both conv layers. The
     shipped nb_size=-1 (config_prepare_dataset.py:52, all neighbors) is
-    exact; nb_size>0 thins each seed's in-edges i.i.d. with probability
-    nb_size/deg instead of exactly-nb_size-without-replacement (static
-    shapes; expected fan-in matches). 'full' is one full-graph step per
-    epoch.
+    exact. With nb_size>0 the fast default thins each seed's in-edges
+    i.i.d. with probability nb_size/deg (expected fan-in matches);
+    nb_exact=True instead keeps exactly min(nb_size, deg) per seed without
+    replacement — the reference's NeighborSampler distribution
+    (preprocess.py:87-106) — via exact_k_edge_mask (order-statistic
+    threshold over a padded incoming-edge table, still static shapes).
+    'full' is one full-graph step per epoch.
 
     With a mesh the SpMM distributes (SURVEY §2.3 'distributed SpMM'): the
     directed EDGE arrays shard over every mesh device (features/params
@@ -363,9 +407,16 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         n_neg_nbr = max(2 * int(train_pos.shape[1]) * batch_size
                         // (4 * n), 1)
 
+        if nb_exact and nb_size > 0:
+            in_pos_np, in_valid_np = build_in_edge_table(np.asarray(dst), n)
+            nbr_data = (*data, jnp.asarray(in_pos_np),
+                        jnp.asarray(in_valid_np))
+        else:
+            nbr_data = data
+
         @functools.partial(jax.jit, static_argnames=("n_epochs",))
         def neighbor_run_chunk(params, opt_state, rng, data, *, n_epochs):
-            x_, src_, dst_, deg_, train_pos_ = data
+            x_, src_, dst_, deg_, train_pos_, *in_table = data
             dst_c = jnp.minimum(dst_, n)  # mesh edge-padding uses dst=n
 
             def epoch_body(carry, _):
@@ -377,7 +428,11 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                     mask = (jnp.zeros(n + 1).at[seeds].set(1.0)
                             .at[n].set(0.0))
                     emask = mask[dst_c]  # incoming edges of the seeds
-                    if nb_size > 0:
+                    if nb_size > 0 and nb_exact:
+                        emask = emask * exact_k_edge_mask(
+                            kt, in_table[0], in_table[1], nb_size,
+                            dst_.shape[0])
+                    elif nb_size > 0:
                         keep_p = jnp.minimum(1.0, nb_size / jnp.maximum(
                             deg_[jnp.minimum(dst_c, n - 1)], 1.0))
                         emask = emask * jax.random.bernoulli(
@@ -434,7 +489,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                 epoch_body, (params, opt_state, rng), None, length=n_epochs)
             return params, opt_state, losses
 
-        run_chunk, run_data = neighbor_run_chunk, data
+        run_chunk, run_data = neighbor_run_chunk, nbr_data
     else:
         @functools.partial(jax.jit, static_argnames=("n_epochs",))
         def full_run_chunk(params, opt_state, rng, data, *, n_epochs):
@@ -548,7 +603,8 @@ SEARCH_SPACES = {
 
 def greedy_hyperparam_search(graph: CSRGraph, *, conv_type: str = "gin",
                              minibatch: str = "full", epochs: int = 50,
-                             seed: int = 0, log_fn=None):
+                             seed: int = 0, nb_size: Optional[int] = None,
+                             nb_exact: bool = False, log_fn=None):
     """Greedy coordinate-descent over the reference's spaces
     (train_node_emb.py:146-172): hyperparameter TYPES are visited in a
     shuffled order; within a type every value is tried (shuffled) with the
@@ -562,6 +618,10 @@ def greedy_hyperparam_search(graph: CSRGraph, *, conv_type: str = "gin",
         spaces.pop("walk_length"); spaces.pop("num_steps")
     if minibatch != "neighbor":
         spaces.pop("nb_size", None)
+    elif nb_size is not None:
+        # honor an explicitly requested fan-in instead of silently searching
+        # the default space (cli/prepare_dataset.py -emb_nb_size)
+        spaces["nb_size"] = [nb_size]
     if minibatch == "full":
         spaces.pop("batch_size")
     shuffler = pyrandom.Random(seed)
@@ -581,7 +641,7 @@ def greedy_hyperparam_search(graph: CSRGraph, *, conv_type: str = "gin",
             seen.add(key)
             emb, metrics = train_node_embeddings(
                 graph, conv_type=conv_type, minibatch=minibatch,
-                epochs=epochs, seed=seed, **current)
+                epochs=epochs, seed=seed, nb_exact=nb_exact, **current)
             if log_fn:
                 log_fn(f"greedy {current} -> val_acc={metrics['val_acc']:.4f}"
                        f" val_auc={metrics['val_auc']:.4f}")

@@ -280,6 +280,58 @@ def test_node_emb_neighbor_nb_size_thinning(density_dataset):
     assert "emb_nb_size" in inspect.signature(prepare).parameters
 
 
+def test_node_emb_neighbor_exact_k(density_dataset):
+    """nb_exact=True keeps exactly min(nb_size, in_degree) incoming edges
+    per node, uniformly without replacement — the reference NeighborSampler
+    distribution (preprocess.py:87-106 sizes=[nb_size]); resolves the
+    PARITY #13 deviation. Checks the mask is 0/1 with exact per-node
+    counts, the marginal inclusion frequency is uniform at min(k,deg)/deg,
+    and a trained exact-k run still learns link structure."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from subgnn_tpu.prepare.node_emb import (build_in_edge_table,
+                                             exact_k_edge_mask,
+                                             train_node_embeddings)
+    from subgnn_tpu.data.graph import CSRGraph
+    root, task_dir, _, _ = density_dataset
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    n = g.n_nodes
+    counts = np.diff(g.indptr[1:]).astype(np.int64)
+    src = np.repeat(np.arange(n, dtype=np.int32), counts)
+    dst = (g.indices[g.indptr[1]:] - 1).astype(np.int32)
+    E = len(dst)
+    k = 3
+    in_pos, in_valid = build_in_edge_table(dst, n)
+    indeg = np.bincount(dst, minlength=n)
+
+    # exact per-node counts, 0/1 mask, no replacement
+    mask = np.asarray(exact_k_edge_mask(jax.random.PRNGKey(0),
+                                        jnp.asarray(in_pos),
+                                        jnp.asarray(in_valid), k, E))
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    per_dst = np.bincount(dst, weights=mask, minlength=n)
+    np.testing.assert_array_equal(per_dst, np.minimum(k, indeg))
+
+    # uniform marginal: every in-edge of a node is kept with the same
+    # frequency min(k, deg)/deg
+    n_draws = 300
+    keys = jax.random.split(jax.random.PRNGKey(1), n_draws)
+    freq = np.asarray(jax.vmap(
+        lambda kk: exact_k_edge_mask(kk, jnp.asarray(in_pos),
+                                     jnp.asarray(in_valid), k, E)
+    )(keys)).mean(axis=0)
+    expect = np.minimum(k, indeg)[dst] / np.maximum(indeg[dst], 1)
+    assert np.abs(freq - expect).max() < 0.12, \
+        np.abs(freq - expect).max()
+
+    emb, metrics = train_node_embeddings(
+        g, conv_type="gin", hidden=32, out_dim=16, epochs=6, seed=0,
+        minibatch="neighbor", batch_size=16, nb_size=2, nb_exact=True)
+    assert emb.shape == (g.n_nodes, 16)
+    assert metrics["val_auc"] > 0.6, metrics
+
+
 def test_node_emb_edge_mask_semantics(density_dataset):
     """The NeighborSampler edge-mask formulation matches the reference's
     bipartite sampled graph (preprocess.py:87-106): an all-ones mask is the
