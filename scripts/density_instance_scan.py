@@ -75,8 +75,10 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    rows.sort(key=lambda r: (r["oracle_test_acc"], r["oracle_val_acc"]),
-              reverse=True)
+    # rank on the VAL ceiling only (test ceiling is reported, never used
+    # for selection), so instance choice does not condition on the same
+    # test split the "beats paper" protocol is later scored on
+    rows.sort(key=lambda r: (r["oracle_val_acc"], r["seed"]), reverse=True)
     print("SCAN_RANKED " + json.dumps(rows))
     keep = {r["task"] for r in rows[:args.keep_top]}
     if not args.keep_all:

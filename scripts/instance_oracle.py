@@ -35,6 +35,11 @@ def true_property(G, nodes, prop):
     if prop == "density":
         return nx.density(sub)
     if prop == "cut_ratio":
+        # len(G.nodes) as the denominator's node count assumes NO isolated
+        # nodes (the generator keeps the largest connected component, so
+        # every id 1..n appears in edge_list.txt) — assert it
+        assert max(G.nodes) == len(G.nodes), \
+            "non-contiguous node ids: cut_ratio denominator would shift"
         rest = set(G.nodes) - set(sub.nodes)
         boundary = len(list(nx.edge_boundary(G, sub.nodes, rest)))
         return boundary / (len(sub.nodes) * (len(G.nodes) - len(sub.nodes)))

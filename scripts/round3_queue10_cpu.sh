@@ -12,7 +12,9 @@ Q9_PID=$(cat logs/queue9.pid 2>/dev/null)
 # a missing/empty pid file must NOT mean "start now": two jobs on one
 # chip crashed the TPU worker once (CLAUDE.md). Refuse instead.
 [ -n "$Q9_PID" ] || { echo "no logs/queue9.pid — refusing concurrent start"; exit 1; }
-while kill -0 "$Q9_PID" 2>/dev/null; do sleep 30; done
+# guard against PID recycling: only wait while the PID is still a python
+# process (the predecessor), not some unrelated long-lived reuse of it
+while [ "$(ps -o comm= -p "$Q9_PID" 2>/dev/null)" = "python" ]; do sleep 30; done
 
 python -u scripts/seed_avg_search.py -task density250_s52 -property density \
   -channels S -trials 25 -hpo_seeds 2 -search_epochs 150
