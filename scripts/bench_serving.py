@@ -68,16 +68,20 @@ def main():
     res = pipe.predict(novel(0), params=params, state=state, **pads)
     cold = time.time() - t0
     warm = []
+    warm_timings = None
     for i in range(1, 4):
         t0 = time.time()
-        pipe.predict(novel(i), params=params, state=state, **pads)
+        r = pipe.predict(novel(i), params=params, state=state, **pads)
         warm.append(time.time() - t0)
+        warm_timings = r.get("timings")
     print(json.dumps({
         "task": args.task, "n_subgraphs": args.n,
         "setup_s": round(t_setup, 1),
         "cold_predict_s": round(cold, 2),
         "warm_predict_s": round(float(np.median(warm)), 2),
         "warm_ms_per_subgraph": round(float(np.median(warm)) / args.n * 1e3, 1),
+        "warm_stage_ms": {k: round(v * 1e3, 1)
+                          for k, v in (warm_timings or {}).items()},
         "pred_shape": list(np.asarray(res["probs"]).shape),
     }))
 

@@ -99,6 +99,51 @@ def _all_chunks(cs, cl, asq, al, *, kernel, chunk, na, n_pairs):
     return d.reshape(-1)[:n_pairs]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("kernel", "chunk", "nc", "na", "G"))
+def _all_chunks_grouped(cs, cl, asq, al, *, kernel, chunk, nc, na, G):
+    """G independent same-shaped (comp x anchor) DTW products in ONE
+    dispatch (serving fuses the internal+border products so a warm
+    predict pays one device round-trip for ALL structure sims instead of
+    two — each round-trip is 28ms-1s over the axon tunnel).
+
+    cs (G*nc, Lc) / asq (G*na, La) are the per-group arrays stacked; pair
+    p maps to group g = p // (nc*na), comp g*nc + r//na, anchor
+    g*na + r%na — block-diagonal, no cross-group waste."""
+    n_pairs = G * nc * na
+    n_chunks = -(-n_pairs // chunk)
+
+    def one_chunk(_, start):
+        p = jnp.clip(start * chunk + jnp.arange(chunk), 0, n_pairs - 1)
+        g, r = p // (nc * na), p % (nc * na)
+        ic, ia = g * nc + r // na, g * na + r % na
+        return None, kernel(cs[ic], cl[ic], asq[ia], al[ia])
+
+    _, d = jax.lax.scan(one_chunk, None, jnp.arange(n_chunks))
+    return d.reshape(-1)[:n_pairs]
+
+
+def dtw_similarity_grouped(comp_seqs: np.ndarray, comp_lens: np.ndarray,
+                           anchor_seqs: np.ndarray, anchor_lens: np.ndarray,
+                           chunk: int = 8192) -> np.ndarray:
+    """(G, n_comp, n_anchor) of 1/(DTW+1) for G independent same-shaped
+    products, single device dispatch. comp_seqs (G, nc, Lc);
+    anchor_seqs (G, na, La)."""
+    G, nc, Lc = comp_seqs.shape
+    _, na, La = anchor_seqs.shape
+    kernel = dtw_distance_batch
+    if jax.devices()[0].platform == "tpu":
+        from ..ops.dtw_pallas import dtw_distance_pallas
+        kernel = dtw_distance_pallas
+    out = np.asarray(_all_chunks_grouped(
+        jnp.asarray(comp_seqs.reshape(G * nc, Lc)),
+        jnp.asarray(comp_lens.reshape(G * nc)),
+        jnp.asarray(anchor_seqs.reshape(G * na, La)),
+        jnp.asarray(anchor_lens.reshape(G * na)),
+        kernel=kernel, chunk=chunk, nc=nc, na=na, G=G), dtype=np.float32)
+    return (1.0 / (out + 1.0)).reshape(G, nc, na)
+
+
 def dtw_similarity_matrix(comp_seqs: np.ndarray, comp_lens: np.ndarray,
                           anchor_seqs: np.ndarray, anchor_lens: np.ndarray,
                           chunk: int = 8192, mesh=None) -> np.ndarray:

@@ -136,6 +136,44 @@ def compute_structure_similarities(graph: CSRGraph, cc_ids: np.ndarray,
     return sims
 
 
+def structure_similarities_both(graph: CSRGraph, cc_ids: np.ndarray,
+                                structure_anchors: np.ndarray,
+                                anchor_cache: dict | None = None):
+    """Internal AND border structure similarities in ONE device dispatch
+    (serving hot path; equals two compute_structure_similarities calls).
+
+    anchor_cache: a dict the caller keeps per anchor pool — the pool's
+    degree sequences are request-invariant, so a warm serving path skips
+    recomputing them (a host loop over every pool walk, paid twice per
+    request before round 4). Returns (int_sims, bor_sims) shaped like
+    compute_structure_similarities's output.
+    """
+    from .dtw import dtw_similarity_grouped
+
+    n_sub, max_n_cc, L = cc_ids.shape
+    comp_flat = cc_ids.reshape(n_sub * max_n_cc, L)
+    ci, li = degree_sequences(graph, comp_flat, internal=True)
+    cb, lb = degree_sequences(graph, comp_flat, internal=False)
+    if anchor_cache is None:
+        anchor_cache = {}
+    if "int" not in anchor_cache:
+        anchor_cache["int"] = degree_sequences(graph, structure_anchors,
+                                               internal=True)
+        anchor_cache["bor"] = degree_sequences(graph, structure_anchors,
+                                               internal=False)
+    (ai, ali), (ab, alb) = anchor_cache["int"], anchor_cache["bor"]
+    sims = dtw_similarity_grouped(
+        np.stack([ci, cb]), np.stack([li, lb]),
+        np.stack([ai, ab]), np.stack([ali, alb]))
+    cc_mask = cc_ids[:, :, 0] != PAD_VALUE
+    out = []
+    for g in range(2):
+        s = sims[g].reshape(n_sub, max_n_cc, -1).astype(np.float32)
+        s[~cc_mask] = PAD_VALUE
+        out.append(s)
+    return out[0], out[1]
+
+
 # --------------------------------------------------------------------- cache
 
 def cached(path: Path, compute_fn, recompute: bool = False) -> np.ndarray:

@@ -23,8 +23,8 @@ from ..precompute.shortest_paths import (shortest_path_matrix,
 from ..precompute.border import compute_border_sets
 from ..precompute.similarities import (
     cached, compute_shortest_path_similarities, compute_structure_similarities,
-    np_sim_path, border_set_path, struc_patches_path, struc_walks_path,
-    struc_sim_path)
+    structure_similarities_both, np_sim_path, border_set_path,
+    struc_patches_path, struc_walks_path, struc_sim_path)
 from ..sampling.walks import sample_structure_anchor_patches, perform_random_walks
 from ..sampling.anchors import (
     init_anchors_neighborhood, init_anchors_pos_int, init_anchors_pos_ext,
@@ -500,8 +500,19 @@ class SubGNNPipeline:
 
         Returns {"logits": (N, num_classes) float32,
                  "probs":  sigmoid (multilabel) or softmax probabilities,
-                 "pred":   thresholded labels / argmax class ids}.
+                 "pred":   thresholded labels / argmax class ids,
+                 "timings": per-stage wall-clock seconds}.
+
+        Warm-path latency structure (round 4, VERDICT r3 task 3): the
+        request BFS runs on C++ threads CONCURRENTLY with the structure
+        DTW (one fused internal+border device dispatch) and anchor
+        sampling; the anchor pool's degree sequences and the
+        request-invariant pos_ext/structure anchors are cached on the
+        pipeline after the first call.
         """
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
         hp = self.hp
         assert self._loaded, "call load() + precompute() first"
         trainer = getattr(self, "trainer", None)
@@ -517,63 +528,106 @@ class SubGNNPipeline:
             state = {}
         seed = hp.seed if seed is None else seed
         PREDICT_TAG = 3  # fresh RNG stream, disjoint from SPLIT_TAG
+        timings: Dict[str, float] = {}
+        t_all = _time.time()
 
         # max_n_cc/max_len_cc pin the padded CC shape: the jitted forward
         # retraces (a multi-minute remote compile over the axon tunnel) on
         # every NEW (C, L), which is data-dependent — a steady serving
         # deployment should pass fixed bounds
+        t0 = _time.time()
         cc_ids = initialize_cc_ids(self.graph, node_lists,
                                    max_n_cc=max_n_cc,
                                    max_len_cc=max_len_cc)         # (N, C, L)
+        timings["cc_split"] = _time.time() - t0
         n = len(node_lists)
 
         border = None
         if hp.use_neighborhood:
+            t0 = _time.time()
             border = compute_border_sets(self.graph, cc_ids,
                                          hp.neigh_sample_border_size)
-        np_sim = None
-        if hp.use_neighborhood or hp.use_position:
+            timings["border_sets"] = _time.time() - t0
+
+        def _bfs_np_sim():
+            # the C++ BFS releases the GIL (ctypes foreign call), so this
+            # runs truly in parallel with the host-side DTW prep below
             srcs = np.unique(cc_ids.ravel())
             srcs = srcs[srcs != PAD_VALUE].astype(np.int64)
             rows = shortest_path_rows(self.graph, srcs,
                                       n_threads=hp.n_processes)
             lut = np.zeros(self.graph.n_nodes + 1, np.int32)
             lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
-            np_sim = compute_shortest_path_similarities(rows, lut[cc_ids])
-        int_s = bor_s = None
-        if hp.use_structure:
-            assert self.structure_anchors is not None, "precompute() first"
-            int_s = compute_structure_similarities(
-                self.graph, cc_ids, self.structure_anchors, internal=True)
-            bor_s = compute_structure_similarities(
-                self.graph, cc_ids, self.structure_anchors, internal=False)
+            return compute_shortest_path_similarities(rows, lut[cc_ids])
 
-        if anchors is None:
-            anchors = {}
-            if hp.use_neighborhood:
-                ai, ab = init_anchors_neighborhood(hp, cc_ids, border, seed,
-                                                   PREDICT_TAG)
-                anchors["neigh_int"] = jnp.asarray(ai)
-                anchors["neigh_bor"] = jnp.asarray(ab)
-            if hp.use_position:
-                anchors["pos_int"] = jnp.asarray(init_anchors_pos_int(
-                    hp, node_lists, seed, PREDICT_TAG))
-                # shared across splits — identical to the training-time set
-                # (same seed-derived stream, reference SubGNN.py:1012)
-                anchors["pos_ext"] = jnp.asarray(init_anchors_pos_ext(
-                    hp, self.graph, seed))
+        np_sim = None
+        pool = ThreadPoolExecutor(max_workers=1)
+        bfs_future = None
+        try:
+            if hp.use_neighborhood or hp.use_position:
+                t_bfs = _time.time()
+                bfs_future = pool.submit(_bfs_np_sim)
+
+            int_s = bor_s = None
             if hp.use_structure:
-                _, idxp, iw, bw = init_anchors_structure(
-                    hp, self.structure_anchors, self.int_walks,
-                    self.bor_walks, seed)
-                anchors["struc_pool_idx"] = jnp.asarray(idxp)
-                anchors["struc_int_walks"] = jnp.asarray(iw)
-                anchors["struc_bor_walks"] = jnp.asarray(bw)
+                assert self.structure_anchors is not None, "precompute() first"
+                t0 = _time.time()
+                if not hasattr(self, "_serving_anchor_seqs"):
+                    self._serving_anchor_seqs = {}
+                int_s, bor_s = structure_similarities_both(
+                    self.graph, cc_ids, self.structure_anchors,
+                    anchor_cache=self._serving_anchor_seqs)
+                timings["structure_sims"] = _time.time() - t0
+
+            if anchors is None:
+                t0 = _time.time()
+                anchors = {}
+                if hp.use_neighborhood:
+                    ai, ab = init_anchors_neighborhood(hp, cc_ids, border,
+                                                       seed, PREDICT_TAG)
+                    anchors["neigh_int"] = jnp.asarray(ai)
+                    anchors["neigh_bor"] = jnp.asarray(ab)
+                if hp.use_position:
+                    anchors["pos_int"] = jnp.asarray(init_anchors_pos_int(
+                        hp, node_lists, seed, PREDICT_TAG))
+                    # shared across splits — identical to the training-time
+                    # set (same seed-derived stream, reference
+                    # SubGNN.py:1012); request-invariant, cached per seed
+                    cache = getattr(self, "_serving_anchor_cache", None)
+                    if cache is None or cache[0] != seed:
+                        cache = (seed, {"pos_ext": jnp.asarray(
+                            init_anchors_pos_ext(hp, self.graph, seed))})
+                        self._serving_anchor_cache = cache
+                    anchors["pos_ext"] = cache[1]["pos_ext"]
+                if hp.use_structure:
+                    cache = getattr(self, "_serving_anchor_cache",
+                                    (seed, {}))
+                    if cache[0] != seed:
+                        cache = (seed, {})
+                    if "struc" not in cache[1]:
+                        _, idxp, iw, bw = init_anchors_structure(
+                            hp, self.structure_anchors, self.int_walks,
+                            self.bor_walks, seed)
+                        cache[1]["struc"] = (jnp.asarray(idxp),
+                                             jnp.asarray(iw),
+                                             jnp.asarray(bw))
+                        self._serving_anchor_cache = cache
+                    (anchors["struc_pool_idx"], anchors["struc_int_walks"],
+                     anchors["struc_bor_walks"]) = cache[1]["struc"]
+                timings["anchors"] = _time.time() - t0
+
+            if bfs_future is not None:
+                np_sim = bfs_future.result()
+                timings["bfs_np_sim_wall"] = _time.time() - t_bfs
+        finally:
+            pool.shutdown(wait=True)
 
         cc_tables = None
         if hp.trainable_cc:
+            t0 = _time.time()
             cc_tables = {k: jnp.asarray(v) for k, v in
                          self._cc_tables_from_ids(cc_ids).items()}
+            timings["cc_tables"] = _time.time() - t0
 
         from ..data.dataset import pad_node_lists
         labels = (np.zeros((n, self.num_classes), np.float32)
@@ -606,6 +660,7 @@ class SubGNNPipeline:
         out = []
         B = hp.batch_size
         arange_b = jnp.arange(B, dtype=jnp.int32)
+        t_fwd = _time.time()
         for batch in data.batches(B, shuffle=False, drop_last=False):
             valid = batch["valid"]
             idx = batch["subgraph_idx"]
@@ -630,6 +685,8 @@ class SubGNNPipeline:
             jbatch["subgraph_idx"] = arange_b
             out.append(np.asarray(
                 fwd(params, state, jbatch, banchors, bcc_tables))[valid])
+        timings["forward"] = _time.time() - t_fwd
+        timings["total"] = _time.time() - t_all
         logits = np.concatenate(out).astype(np.float32)
         if self.multilabel:
             probs = 1.0 / (1.0 + np.exp(-logits))
@@ -638,7 +695,8 @@ class SubGNNPipeline:
             e = np.exp(logits - logits.max(axis=1, keepdims=True))
             probs = e / e.sum(axis=1, keepdims=True)
             pred = probs.argmax(axis=1).astype(np.int32)
-        return {"logits": logits, "probs": probs, "pred": pred}
+        return {"logits": logits, "probs": probs, "pred": pred,
+                "timings": timings}
 
 
 def load_best_hyperparams(path: str | Path) -> HParams:

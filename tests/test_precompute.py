@@ -201,6 +201,36 @@ def test_structure_similarities(small_graph, rng):
     assert np.all(sims[:, :, :][cc_ids[:, :, 0] == 0] == 0)
 
 
+def test_structure_similarities_both_matches_separate(small_graph, rng):
+    """The serving hot path's single-dispatch fused internal+border DTW
+    (structure_similarities_both) must equal the two separate
+    compute_structure_similarities calls, and its anchor-sequence cache
+    must be populated and reusable."""
+    from subgnn_tpu.precompute.similarities import structure_similarities_both
+    csr = to_csr(small_graph)
+    subgraphs = [(rng.choice(60, size=5, replace=False) + 1).tolist()
+                 for _ in range(3)]
+    cc_ids = initialize_cc_ids(csr, subgraphs)
+    anchors = np.zeros((4, 6), dtype=np.int32)
+    for i in range(4):
+        anchors[i, :4] = rng.choice(60, size=4, replace=False) + 1
+    want_int = compute_structure_similarities(csr, cc_ids, anchors,
+                                              internal=True)
+    want_bor = compute_structure_similarities(csr, cc_ids, anchors,
+                                              internal=False)
+    cache = {}
+    got_int, got_bor = structure_similarities_both(csr, cc_ids, anchors,
+                                                   anchor_cache=cache)
+    np.testing.assert_allclose(got_int, want_int, atol=1e-6)
+    np.testing.assert_allclose(got_bor, want_bor, atol=1e-6)
+    assert set(cache) == {"int", "bor"}
+    # second call hits the cache and still agrees
+    got_int2, got_bor2 = structure_similarities_both(csr, cc_ids, anchors,
+                                                     anchor_cache=cache)
+    np.testing.assert_allclose(got_int2, want_int, atol=1e-6)
+    np.testing.assert_allclose(got_bor2, want_bor, atol=1e-6)
+
+
 def test_host_fallback_bfs_matches_networkx(small_graph):
     """The pure-NumPy fallback (used when the C++ .so is absent) — exercised
     directly since backend='host' routes through native when available."""
