@@ -14,31 +14,14 @@ from __future__ import annotations
 
 import argparse
 import json
-import re
 import sys
-from collections import defaultdict
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
-               "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8}
-
-COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
-               "collective-permute", "all-to-all")
-
-
-def shape_bytes(shape_str: str) -> int:
-    m = re.match(r"(\w+)\[([\d,]*)\]", shape_str)
-    if not m:
-        return 0
-    dt, dims = m.groups()
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * DTYPE_BYTES.get(dt, 4)
+# counting lives in the package so the at-scale multichip dryrun can
+# assert on it (subgnn_tpu/parallel/hlo_audit.py)
 
 
 def main():
@@ -83,35 +66,13 @@ def main():
 
         compiled = jax.jit(step).lower(sp, sb).compile()
 
-    txt = compiled.as_text()
-    counts = defaultdict(int)
-    bytes_by_op = defaultdict(int)
-    examples = defaultdict(list)
-    for line in txt.splitlines():
-        for op in COLLECTIVES:
-            marker = f" {op}(" if f" {op}(" in line else (
-                f" {op}-start(" if f" {op}-start(" in line else None)
-            if marker is None:
-                continue
-            # sum every shape in the OUTPUT (the `%name = <ty>` part left
-            # of the op name) — collectives are often variadic tuples
-            out_part = line.split(marker)[0]
-            shapes = re.findall(r"\w+\[[\d,]*\]", out_part)
-            total = sum(shape_bytes(s) for s in shapes)
-            counts[op] += 1
-            bytes_by_op[op] += total
-            if len(examples[op]) < 4:
-                big = max(shapes, key=shape_bytes) if shapes else "?"
-                examples[op].append(
-                    f"{len(shapes)}-tuple, {total/1e6:.2f} MB total,"
-                    f" largest {big}")
-            break
-
+    from subgnn_tpu.parallel.hlo_audit import count_hlo_collectives
+    audit = count_hlo_collectives(compiled.as_text())
     print(json.dumps({
         "mesh": {"data": args.data, "node": args.node},
-        "collective_counts": dict(counts),
-        "collective_bytes_total": dict(bytes_by_op),
-        "examples": {k: v for k, v in examples.items()},
+        "collective_counts": audit["counts"],
+        "collective_bytes_total": audit["bytes"],
+        "examples": audit["examples"],
     }, indent=2))
 
 

@@ -537,3 +537,21 @@ def test_dtw_pallas_under_shard_map_matches_scan():
     want = np.asarray(dtw_distance_batch(
         jnp.asarray(a), jnp.asarray(la), jnp.asarray(b), jnp.asarray(lb)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dryrun_multichip_full_at_scale(tmp_path):
+    """The at-scale multichip dryrun (VERDICT r3 task 7): sharded
+    precompute -> fused fit -> eval -> checkpoint in ONE invocation on a
+    5k-node instance over the 8-device virtual mesh, with the GSPMD
+    collective audit asserting per-op counts and byte volumes."""
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+
+    res = ge.dryrun_multichip_full(8, workdir=tmp_path)
+    assert res["mesh"] == {"data": 4, "node": 2}
+    assert res["n_nodes"] == 5000
+    # grads reduce over 'data', node-sharded anchor gathers psum over
+    # 'node' (the collectives_report.py accounting: 3 all-reduces at 4x2)
+    assert res["collective_counts"].get("all-reduce", 0) == 3, res
+    assert res["collective_bytes"]["all-reduce"] > 4_000_000, res
