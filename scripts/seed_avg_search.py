@@ -57,13 +57,19 @@ def main():
     ap.add_argument("-search_epochs", type=int, default=200)
     ap.add_argument("-retest_epochs", type=int, default=500)
     ap.add_argument("-retest_seeds", type=int, default=10)
-    ap.add_argument("-objective", default="f1", choices=["f1", "f1_auroc"],
-                    help="per-seed trial score: best-val micro_f1 (the "
-                         "reference's monitor) or the best over epochs of "
-                         "mean(val_micro_f1, val_auroc) — round 3 measured "
-                         "best-val f1 SATURATING at 1.0 on 25-example val "
-                         "splits (RESULTS.md density s52); auroc is "
-                         "continuous and de-saturates the TPE signal")
+    ap.add_argument("-objective", default="f1",
+                    choices=["f1", "f1_auroc", "holdout"],
+                    help="per-seed trial score. f1: best-val micro_f1 (the "
+                         "reference's monitor). f1_auroc: best over epochs "
+                         "of mean(val_micro_f1, val_auroc) — de-saturates "
+                         "TPE when best-val f1 pins at 1.0 on 25-example "
+                         "val splits (round 3, density s52). holdout: "
+                         "NESTED selection — a train-carved holdout is "
+                         "scored with the restored best-val checkpoint, "
+                         "estimating exactly the 10-seed protocol's "
+                         "quantity; round 4 measured best-val saturating "
+                         "at ~0.9 for EVERY channel subset while test "
+                         "ranged 0.49-0.88, so subset selection NEEDS this")
     ap.add_argument("-gen_seed", type=int, default=42)
     ap.add_argument("-n", type=int, default=1000)
     ap.add_argument("-project_root", default="data")
@@ -102,6 +108,16 @@ def main():
         linear_hidden_dim_1=64, linear_hidden_dim_2=32,
     )
     rc = RunConfig(task=args.task, project_root=root)
+
+    holdout = None
+    if args.objective == "holdout":
+        from subgnn_tpu.data.subgraphs import read_subgraphs
+        tr, *_ = read_subgraphs(task_dir / "subgraphs.pth")
+        n_train = len(tr)
+        holdout = np.random.default_rng(777).choice(
+            n_train, size=max(25, n_train // 5), replace=False)
+        print(f"holdout objective: {len(holdout)} of {n_train} train "
+              "subgraphs carved out for trial scoring", flush=True)
 
     def objective(trial):
         if auto_channels:
@@ -154,9 +170,11 @@ def main():
         vals = []
         for s in range(args.hpo_seeds):
             hp = HParams.from_dict({**base, **p, "seed": s})
-            pipe = SubGNNPipeline(rc, hp)
+            pipe = SubGNNPipeline(rc, hp, train_holdout=holdout)
             out = pipe.run(log_fn=None)
-            if args.objective == "f1_auroc":
+            if args.objective == "holdout":
+                vals.append(float(out["holdout"]["holdout_micro_f1"]))
+            elif args.objective == "f1_auroc":
                 vals.append(max(
                     (m.get("val_micro_f1", 0.0) + m.get("val_auroc", 0.0)) / 2
                     for m in pipe.trainer.metric_scores))

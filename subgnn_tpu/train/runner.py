@@ -78,12 +78,24 @@ def load_embeddings(path: Path) -> np.ndarray:
 class SubGNNPipeline:
     def __init__(self, run_config: RunConfig, hp: HParams,
                  results_dir: Optional[str | Path] = None,
-                 checkpoint_k: int = 3):
+                 checkpoint_k: int = 3,
+                 train_holdout: Optional[np.ndarray] = None):
         enable_compilation_cache()
         self.rc = run_config
         self.hp = hp
         self.results_dir = Path(results_dir) if results_dir else None
         self.checkpoint_k = checkpoint_k  # 0 disables checkpointing
+        # train-split indices carved out for NESTED model selection: fit
+        # never sees them; after the best-val checkpoint restore they are
+        # scored like a non-train split (run() returns out['holdout']).
+        # This estimates the 10-seed protocol's quantity (test score of the
+        # best-val checkpoint) without touching val or test — round 4
+        # measured best-val-over-epochs saturating at ~0.9 for EVERY
+        # channel subset on 25-example val splits while test scores ranged
+        # 0.49-0.88 (RESULTS.md), so HPO objectives need this.
+        self.train_holdout = (None if train_holdout is None
+                              else np.unique(np.asarray(train_holdout,
+                                                        np.int64)))
         self._loaded = False
 
     # ------------------------------------------------------------------ load
@@ -265,6 +277,18 @@ class SubGNNPipeline:
 
     # --------------------------------------------------------------- anchors
 
+    @staticmethod
+    def _subset_split_anchors(split_anchors: Dict[str, Any],
+                              idx: np.ndarray) -> Dict[str, Any]:
+        """Restrict one split's anchor arrays to subgraph rows `idx` —
+        neigh_int/neigh_bor (L, N, C, A) and pos_int (L, N, A) slice their
+        subgraph axis; pos_ext/structure arrays are split-wide and shared."""
+        out = dict(split_anchors)
+        for k in ("neigh_int", "neigh_bor", "pos_int"):
+            if k in out:
+                out[k] = out[k][:, idx]
+        return out
+
     def sample_anchors(self, seed: Optional[int] = None) -> Dict[str, Dict]:
         """Per-split anchor arrays (reference: SubGNN.py:1047-1061)."""
         hp = self.hp
@@ -371,6 +395,32 @@ class SubGNNPipeline:
         self.precompute(mesh=mesh)
         anchors = self.sample_anchors(seed)
         model, params, state, eval_cc = self.build_model(seed)
+
+        holdout_idx = keep_idx = None
+        if self.train_holdout is not None:
+            n_train = len(self.subgraphs["train"])
+            H = self.train_holdout
+            assert len(H) and 0 <= H.min() and H.max() < n_train, \
+                (H.min(), H.max(), n_train)
+            holdout_idx = H
+            keep_idx = np.setdiff1d(np.arange(n_train), H)
+            anchors = dict(anchors)
+            anchors["holdout"] = self._subset_split_anchors(
+                anchors["train"], holdout_idx)
+            anchors["train"] = self._subset_split_anchors(
+                anchors["train"], keep_idx)
+            if hp.trainable_cc:
+                # the held-out rows behave like a non-train split: scored
+                # with PRETRAINED-initialized CC tables (SubGNN.py:646-668
+                # treatment of val/test), while the trainable train table
+                # shrinks to the kept rows
+                params["train_cc"] = {k: v[keep_idx]
+                                      for k, v in params["train_cc"].items()}
+                eval_cc = dict(eval_cc)
+                eval_cc["holdout"] = {
+                    k: jnp.asarray(v[holdout_idx]) for k, v in
+                    self._init_cc_tables("train").items()}
+
         if restore_path:
             payload = load_checkpoint(restore_path)
             params = load_params_filtered(restore_path, params,
@@ -423,7 +473,12 @@ class SubGNNPipeline:
         on_epoch_end = None
         if hp.resample_anchor_patches:
             def on_epoch_end(epoch):  # noqa: F811
-                return self.sample_anchors(seed + 1000 + epoch)
+                fresh = self.sample_anchors(seed + 1000 + epoch)
+                if keep_idx is not None:  # keep holdout rows out of fit
+                    fresh = dict(fresh)
+                    fresh["train"] = self._subset_split_anchors(
+                        fresh["train"], keep_idx)
+                return fresh
 
         start_epoch = 0
         if resume_path:
@@ -433,6 +488,10 @@ class SubGNNPipeline:
 
         train_data = self.split_data("train")
         val_data = self.split_data("val")
+        holdout_data = None
+        if holdout_idx is not None:
+            holdout_data = train_data.subset(holdout_idx)
+            train_data = train_data.subset(keep_idx)
         try:
             trainer.fit(params, state, train_data, val_data, anchors,
                         seed=seed, on_epoch_end=on_epoch_end, log_fn=log_fn,
@@ -466,11 +525,18 @@ class SubGNNPipeline:
                     jnp.asarray, payload["state"])
         test_metrics = trainer.evaluate(self.split_data("test"),
                                         anchors["test"], "test")
+        holdout_metrics = None
+        if holdout_data is not None:
+            # scored with the SAME restored best-val checkpoint as test —
+            # an unbiased estimate of the protocol quantity from train data
+            holdout_metrics = trainer.evaluate(holdout_data,
+                                               anchors["holdout"], "holdout")
         if self.results_dir:
             dump_json(self.results_dir / "test_results.json", test_metrics)
         self.trainer = trainer
         return {"val": trainer.metric_scores[-1] if trainer.metric_scores else {},
                 "test": test_metrics,
+                "holdout": holdout_metrics,
                 "best_monitor": trainer.best_monitor_value()}
 
 

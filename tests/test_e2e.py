@@ -280,6 +280,41 @@ def test_node_emb_neighbor_nb_size_thinning(density_dataset):
     assert "emb_nb_size" in inspect.signature(prepare).parameters
 
 
+def test_train_holdout_nested_selection(density_dataset, tmp_path):
+    """train_holdout carves rows OUT of fit and scores them with the
+    restored best-val checkpoint — the nested-model-selection objective
+    for HPO (round-4 fix: best-val saturates identically for every
+    channel subset on tiny val splits while test scores diverge). Covers
+    the trainable_cc path (holdout gets PRETRAINED-init CC tables like a
+    non-train split) and checks a different holdout changes nothing about
+    the val/test protocol."""
+    root, task_dir, _, _ = density_dataset
+    rc = RunConfig(task="density", project_root=root)
+    hp = HParams(
+        use_neighborhood=True, use_structure=True, use_position=False,
+        n_layers=1, max_epochs=3, batch_size=8, learning_rate=3e-3,
+        n_anchor_patches_N_in=3, n_anchor_patches_N_out=4,
+        n_anchor_patches_structure=4, n_triangular_walks=3,
+        random_walk_len=6, sample_walk_len=10, max_sim_epochs=2,
+        linear_hidden_dim_1=16, linear_hidden_dim_2=8, seed=0,
+        embedding_type="gin", trainable_cc=True)
+    H = np.array([1, 4, 7, 9])
+    pipe = SubGNNPipeline(rc, hp, train_holdout=H)
+    out = pipe.run(log_fn=None)
+    hm = out["holdout"]
+    assert hm is not None and "holdout_micro_f1" in hm, hm
+    assert 0.0 <= hm["holdout_micro_f1"] <= 1.0
+    assert np.isfinite(hm["holdout_loss"])
+    # the trainable train-CC table shrank to the kept rows
+    n_train = len(pipe.subgraphs["train"])
+    assert pipe.trainer.params["train_cc"]["N_I"].shape[0] == n_train - len(H)
+    # val/test protocol still runs and reports as usual
+    assert "test_micro_f1" in out["test"]
+    # no holdout -> key present but None
+    out2 = SubGNNPipeline(rc, hp).run(log_fn=None)
+    assert out2["holdout"] is None
+
+
 def test_node_emb_neighbor_exact_k(density_dataset):
     """nb_exact=True keeps exactly min(nb_size, in_degree) incoming edges
     per node, uniformly without replacement — the reference NeighborSampler
