@@ -1,0 +1,231 @@
+"""Generate full-scale SYNTHETIC STAND-INS for the four real datasets
+(VERDICT r3 task 2) in the reference's exact on-disk contract
+(reference: SubGNN/train_config.py:216-231), so
+`scripts/reproduce_real.py` (no -mini) runs end-to-end at the real
+datasets' published scale today, and the day the real data arrives it is
+a pure file swap.
+
+Scales follow the paper's dataset table (arXiv:2006.10538, as recalled):
+
+  task       nodes   edges      subgraphs  classes  multilabel  sub size
+  ppi_bp     17,080  ~316,951   1,591      6        no          ~10
+  hpo_metab  14,587  ~3,238,174 2,400      6        no          ~14
+  hpo_neuro  (same base graph as hpo_metab) 4,000  10  YES      ~14
+  em_user    57,333  ~4,573,417 324        2        no          ~155
+
+Base graphs are Barabasi-Albert with m chosen to hit the published edge
+count; subgraphs are random-walk-grown connected node sets; labels are
+degree-quantile buckets (signal exists, but NOTHING here claims to model
+the real biology — each dir gets a STANDIN.json stating exactly that).
+HPO-METAB and HPO-NEURO share one base graph like the real pair does.
+
+  PYTHONPATH=/root/repo python scripts/make_real_standins.py [-tasks ...]
+      [--emb] [-emb_epochs 10]
+
+--emb trains GraphSAINT-GIN link-pred embeddings on the ambient platform
+(run it in the TPU queue); without it only graph/subgraph files are
+written and reproduce_real reports the missing-embeddings skip.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+STATS = {
+    "ppi_bp": dict(n=17080, m_ba=19, n_sub=1591, classes=6,
+                   multilabel=False, sub_size=10, sub_sd=3, seed=101),
+    "hpo_metab": dict(n=14587, m_ba=222, n_sub=2400, classes=6,
+                      multilabel=False, sub_size=14, sub_sd=4, seed=102,
+                      share_graph="hpo"),
+    "hpo_neuro": dict(n=14587, m_ba=222, n_sub=4000, classes=10,
+                      multilabel=True, sub_size=14, sub_sd=4, seed=103,
+                      share_graph="hpo"),
+    "em_user": dict(n=57333, m_ba=80, n_sub=324, classes=2,
+                    multilabel=False, sub_size=155, sub_sd=30, seed=104),
+}
+
+
+def ba_edges(n: int, m: int, seed: int) -> np.ndarray:
+    """Barabasi-Albert edge array (E, 2), 0-based — vectorized preferential
+    attachment via the repeated-endpoint trick (each new node picks m
+    distinct targets from the endpoint multiset), O(n*m) numpy."""
+    rng = np.random.default_rng(seed)
+    # endpoint multiset; seed clique of m+1 nodes
+    src0, dst0 = np.triu_indices(m + 1, k=1)
+    edges = [np.stack([src0, dst0], 1)]
+    repeated = np.concatenate([src0, dst0])
+    reservoir = np.empty(2 * n * m + len(repeated), np.int64)
+    reservoir[:len(repeated)] = repeated
+    fill = len(repeated)
+    for v in range(m + 1, n):
+        targets = np.unique(reservoir[rng.integers(0, fill, 3 * m)])[:m]
+        while len(targets) < m:  # rare at these densities
+            extra = reservoir[rng.integers(0, fill, 3 * m)]
+            targets = np.unique(np.concatenate([targets, extra]))[:m]
+        e = np.stack([np.full(m, v, np.int64), targets], 1)
+        edges.append(e)
+        reservoir[fill:fill + m] = targets
+        reservoir[fill + m:fill + 2 * m] = v
+        fill += 2 * m
+    return np.concatenate(edges)
+
+
+def grow_subgraph(adj_indptr, adj_indices, rng, size: int) -> np.ndarray:
+    """Connected node set grown by random frontier expansion (0-based)."""
+    n = len(adj_indptr) - 1
+    start = int(rng.integers(0, n))
+    chosen = {start}
+    frontier = [start]
+    while len(chosen) < size and frontier:
+        v = frontier[rng.integers(0, len(frontier))]
+        nbrs = adj_indices[adj_indptr[v]:adj_indptr[v + 1]]
+        new = [int(u) for u in rng.permutation(nbrs)[:4] if u not in chosen]
+        if not new:
+            frontier.remove(v)
+            continue
+        for u in new:
+            chosen.add(u)
+            frontier.append(u)
+            if len(chosen) >= size:
+                break
+    return np.fromiter(chosen, np.int64)
+
+
+def degree_quantile_labels(scores: np.ndarray, n_classes: int) -> np.ndarray:
+    qs = np.quantile(scores, np.linspace(0, 1, n_classes + 1)[1:-1])
+    return np.searchsorted(qs, scores)
+
+
+def write_task(task: str, out_dir: Path, graph_cache: dict):
+    cfg = STATS[task]
+    rng = np.random.default_rng(cfg["seed"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+
+    share = cfg.get("share_graph", task)
+    if share not in graph_cache:
+        edges = ba_edges(cfg["n"], cfg["m_ba"], seed=hash(share) % 2**31)
+        graph_cache[share] = edges
+        print(f"[{task}] base graph: {cfg['n']} nodes "
+              f"{len(edges)} edges ({time.time()-t0:.1f}s)", flush=True)
+    edges = graph_cache[share]
+    (out_dir / "edge_list.txt").write_text(
+        "\n".join(f"{a} {b}" for a, b in edges) + "\n")
+
+    # CSR adjacency for subgraph growth
+    n = cfg["n"]
+    und = np.concatenate([edges, edges[:, ::-1]])
+    order = np.argsort(und[:, 0], kind="stable")
+    und = und[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(und[:, 0], minlength=n), out=indptr[1:])
+    indices = und[:, 1]
+
+    sizes = np.clip(rng.normal(cfg["sub_size"], cfg["sub_sd"],
+                               cfg["n_sub"]).round().astype(int), 3, None)
+    subs = [grow_subgraph(indptr, indices, rng, s) for s in sizes]
+    mean_deg = np.array([(indptr[s + 1] - indptr[s]).mean() for s in subs])
+
+    if cfg["multilabel"]:
+        prim = degree_quantile_labels(mean_deg, cfg["classes"])
+        size_b = degree_quantile_labels(sizes.astype(float), cfg["classes"])
+        max_deg = np.array([(indptr[s + 1] - indptr[s]).max() for s in subs])
+        max_b = degree_quantile_labels(max_deg.astype(float), cfg["classes"])
+        labels = []
+        for i in range(cfg["n_sub"]):
+            labs = {int(prim[i])}
+            if rng.random() < 0.5:
+                labs.add(int(size_b[i]))
+            if rng.random() < 0.2:
+                labs.add(int(max_b[i]))
+            labels.append(sorted(labs))
+    else:
+        prim = degree_quantile_labels(mean_deg, cfg["classes"])
+        labels = [[int(p)] for p in prim]
+
+    # splits 80/10/10; val one larger than test so the reader's val<test
+    # swap quirk (subgraph_utils.py:89-90) stays inert, like the real data
+    perm = rng.permutation(cfg["n_sub"])
+    n_te = cfg["n_sub"] // 10
+    n_va = n_te + 1
+    split_of = {}
+    for i, p in enumerate(perm):
+        split_of[p] = ("test" if i < n_te else
+                       "val" if i < n_te + n_va else "train")
+    rows = []
+    for i, (s, labs) in enumerate(zip(subs, labels)):
+        rows.append("-".join(map(str, s)) + "\t"
+                    + "-".join(f"L{v}" for v in labs) + "\t"
+                    + split_of[i] + "\t")
+    (out_dir / "subgraphs.pth").write_text("\n".join(rows) + "\n")
+
+    (out_dir / "STANDIN.json").write_text(json.dumps({
+        "standin": True,
+        "note": "SYNTHETIC stand-in at the real dataset's published scale "
+                "(dress rehearsal for scripts/reproduce_real.py). Labels "
+                "are degree-quantile buckets; scores here do NOT estimate "
+                "the paper's numbers — only the pipeline's behavior and "
+                "wall-clock at this scale.",
+        "generator": "scripts/make_real_standins.py",
+        "stats": {k: (int(v) if isinstance(v, (int, np.integer)) else v)
+                  for k, v in cfg.items()},
+        "edges_written": int(len(edges)),
+    }, indent=2))
+    print(f"[{task}] {cfg['n_sub']} subgraphs "
+          f"(multilabel={cfg['multilabel']}) written "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+
+def train_embeddings(task: str, out_dir: Path, emb_epochs: int,
+                     emb_cache: dict):
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.prepare.node_emb import (train_node_embeddings,
+                                             save_embeddings)
+    share = STATS[task].get("share_graph", task)
+    if share in emb_cache:
+        emb = emb_cache[share]
+    else:
+        t0 = time.time()
+        g = CSRGraph.from_edgelist(out_dir / "edge_list.txt")
+        dim = 128 if task != "ppi_bp" else 64  # frozen configs' embed dims
+        emb, metrics = train_node_embeddings(
+            g, conv_type="gin", out_dim=dim, epochs=emb_epochs,
+            minibatch="graphsaint", batch_size=512, walk_length=16,
+            num_steps=8, seed=0)
+        emb_cache[share] = emb
+        print(f"[{task}] embeddings {emb.shape} val_auc="
+              f"{metrics['val_auc']:.3f} ({time.time()-t0:.1f}s)",
+              flush=True)
+    save_embeddings(out_dir, emb, "gin")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-tasks", default="ppi_bp,hpo_metab,hpo_neuro,em_user")
+    ap.add_argument("-project_root", default="data")
+    ap.add_argument("--emb", action="store_true")
+    ap.add_argument("-emb_epochs", type=int, default=10)
+    args = ap.parse_args()
+    root = Path(args.project_root)
+    graph_cache: dict = {}
+    emb_cache: dict = {}
+    for task in args.tasks.split(","):
+        task = task.strip()
+        assert task in STATS, task
+        out = root / task
+        if not (out / "subgraphs.pth").exists():
+            write_task(task, out, graph_cache)
+        if args.emb:
+            train_embeddings(task, out, args.emb_epochs, emb_cache)
+
+
+if __name__ == "__main__":
+    main()
