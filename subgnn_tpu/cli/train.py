@@ -123,6 +123,19 @@ def run_optuna_search(args, rc: RunConfig):
                   grid_search_space=(GRID_SEARCH_SPACE if args.grid_search
                                      else None))
 
+    holdout = None
+    if getattr(args, "opt_holdout_frac", 0):
+        # nested model selection: trials are scored on a train-carved
+        # holdout by the restored best-val checkpoint (extension; round-4
+        # RESULTS.md measured best-val unable to rank channel subsets)
+        import numpy as _np
+        from ..data.subgraphs import read_subgraphs
+        tr, *_ = read_subgraphs(rc.subgraphs_path())
+        n_train = len(tr)
+        k = max(25, int(n_train * args.opt_holdout_frac))
+        holdout = _np.random.default_rng(777).choice(
+            n_train, size=min(k, max(n_train - 1, 1)), replace=False)
+
     def objective(trial):
         hyp = get_hyperparams_optuna(args, trial)
         if args.seed is not None:
@@ -136,7 +149,8 @@ def run_optuna_search(args, rc: RunConfig):
         pipe = SubGNNPipeline(rc, HParams.from_dict(hyp),
                               results_dir=results_dir,
                               checkpoint_k=(0 if args.no_checkpointing
-                                            else args.checkpoint_k))
+                                            else args.checkpoint_k),
+                              train_holdout=holdout)
 
         def metrics_callback(epoch, metrics):
             trial.report(metrics.get(args.monitor_metric, float("nan")),
@@ -145,6 +159,8 @@ def run_optuna_search(args, rc: RunConfig):
                 raise TrialPruned()
 
         out = pipe.run(metrics_callback=metrics_callback)
+        if holdout is not None:
+            return out["holdout"]["holdout_micro_f1"]
         return out["best_monitor"]
 
     study.optimize(objective, args.opt_n_trials)
@@ -204,6 +220,13 @@ def main():
                         help="search the channel subset (N/S/P combinations) "
                              "as a categorical instead of the reference's "
                              "pinned use_neighborhood-only space")
+    parser.add_argument("-opt_holdout_frac", type=float, default=0.0,
+                        help="score trials on a train-carved holdout of "
+                             "this fraction (min 25 subgraphs) with the "
+                             "restored best-val checkpoint, instead of "
+                             "best-val itself — nested model selection "
+                             "(best-val cannot rank channel subsets on "
+                             "tiny val splits, RESULTS.md round 4)")
     parser.add_argument("-log_path", type=str, default=None,
                         help="study/results dir (defaults to tb_dir/tb_name)")
     # per-file path overrides (reference train.py:52-56)
