@@ -727,7 +727,14 @@ class SubGNNPipeline:
         B = hp.batch_size
         arange_b = jnp.arange(B, dtype=jnp.int32)
         t_fwd = _time.time()
-        for batch in data.batches(B, shuffle=False, drop_last=False):
+        # COMPACT anchor-column sims (train/sims.py), same as the fused
+        # trainer: ship (L, B, C, A) gathered columns instead of the full
+        # (B, C, n_nodes) tensor — at 57k nodes that tensor is tens of MB
+        # of per-request host->device transfer over the axon tunnel and
+        # was 80% of the measured warm latency (PERF.md serving v2)
+        from .sims import compact_sims_for_batch
+        for batch in data.batches(B, shuffle=False, drop_last=False,
+                                  include_np_sim=False):
             valid = batch["valid"]
             idx = batch["subgraph_idx"]
             # forward() never reads subgraph_ids, and its pad width follows
@@ -736,6 +743,9 @@ class SubGNNPipeline:
             # length and a per-batch host->device transfer
             jbatch = {k: (jnp.asarray(v) if v is not None else None)
                       for k, v in batch.items() if k != "subgraph_ids"}
+            if np_sim is not None:
+                comp = compact_sims_for_batch(np_sim, anchors, hp, idx)
+                jbatch.update({k: jnp.asarray(v) for k, v in comp.items()})
             # slice the request-sized (N-dim) arrays down to this batch and
             # re-index within it: every jit argument is then (B, ...) no
             # matter how many subgraphs the request carried, so a steady
