@@ -56,11 +56,13 @@ def main():
 
     _threading.Thread(target=_watchdog, daemon=True).start()
 
-    # production-ish shapes: D=128, 2 layers, all three channels, large
-    # serving batch (overhead amortizes with B: 63M edges/s at B=128,
-    # 127M at B=512 on v5e)
+    # production-ish shapes: D=128, 2 layers, all three channels, flagship
+    # B pinned at the measured knee (scripts/bench_knee.py round 4:
+    # 62.8M@64 / 113M@128 / 174M@256 / 239M@512 / 277M@1024 / collapse
+    # 150M@2048 — fixed ~900us/step op-sequencing amortizes with B until
+    # the B=2048 spill regime; PERF.md knee section)
     import os
-    B, C, n_nodes = 512, 3, 8192
+    B, C, n_nodes = 1024, 3, 8192
     hp_overrides = dict(node_embed_size=128, n_layers=2,
                         n_anchor_patches_N_in=15, n_anchor_patches_N_out=30,
                         n_anchor_patches_pos_in=30, n_anchor_patches_pos_out=60,
