@@ -79,6 +79,16 @@ def main():
                          "argmax over 37 noisy trials inflated by ~+0.3 "
                          "(holdout 0.96 -> retest 0.65, RESULTS.md)")
     ap.add_argument("-finalist_seeds", type=int, default=4)
+    ap.add_argument("-stratified_rounds", type=int, default=1,
+                    help="auto mode: force this many full cycles over the "
+                         "7 subsets before TPE allocates freely — with a "
+                         "noisy objective one bad early draw starves an "
+                         "arm (round 4: S got 2 of 56 trials while the "
+                         "true winner was an S config)")
+    ap.add_argument("-tag", default="",
+                    help="suffix for the study dir — use when re-running "
+                         "with a changed protocol/space so stale trials "
+                         "don't resume")
     ap.add_argument("-gen_seed", type=int, default=42)
     ap.add_argument("-n", type=int, default=1000)
     ap.add_argument("-project_root", default="data")
@@ -130,11 +140,13 @@ def main():
 
     def objective(trial):
         if auto_channels:
-            # stratified startup: force one trial per subset before TPE's
-            # random-startup window ends, so every arm has data
+            # stratified startup: force -stratified_rounds full cycles over
+            # the subsets before TPE allocates freely, so every arm has
+            # enough draws to survive objective noise
             n = len(study.trials)
-            if n < len(CHANNEL_SUBSETS):
-                trial.fixed["channel_subset"] = CHANNEL_SUBSETS[n]
+            if n < args.stratified_rounds * len(CHANNEL_SUBSETS):
+                trial.fixed["channel_subset"] = \
+                    CHANNEL_SUBSETS[n % len(CHANNEL_SUBSETS)]
             p = suggest_channels(trial)
         else:
             p = {"use_neighborhood": "N" in subset,
@@ -142,7 +154,7 @@ def main():
                  "use_position": "P" in subset}
         # the deep space of run_synthetic_protocol.py -deep
         p.update({
-            "learning_rate": trial.suggest_float("learning_rate", 3e-4,
+            "learning_rate": trial.suggest_float("learning_rate", 1e-4,
                                                  1e-2, log=True),
             "grad_clip": trial.suggest_float("grad_clip", 0.0, 0.5),
             "cc_aggregator": trial.suggest_categorical("cc_aggregator",
@@ -150,7 +162,11 @@ def main():
             "lin_dropout": trial.suggest_float("lin_dropout", 0.0, 0.4),
             "trainable_cc": trial.suggest_categorical("trainable_cc",
                                                       [True, False]),
-            "n_layers": trial.suggest_int("n_layers", 1, 4),
+            # 1-5 matches the reference's own in-driver range
+            # (train.py:163); round 4 found frozen-S coreness AT n_layers=5
+            # and frozen-S density at lr 2.8e-4 — both outside the old
+            # bounds (4; 3e-4)
+            "n_layers": trial.suggest_int("n_layers", 1, 5),
             "batch_size": trial.suggest_categorical("batch_size", [64, 128]),
         })
         # channel-conditional subspaces: a param is only suggested (and only
@@ -206,7 +222,8 @@ def main():
                   "use_position": "P" in cs})
         return p
 
-    study_dir = root / "tb" / f"{args.task}_seedavg_{args.channels}"
+    study_dir = root / "tb" / (f"{args.task}_seedavg_{args.channels}"
+                               + (f"_{args.tag}" if args.tag else ""))
     study_dir.mkdir(parents=True, exist_ok=True)
     study = Study(study_dir / "study.json", direction="maximize",
                   sampler="tpe", seed=0)
@@ -257,7 +274,8 @@ def main():
     hyp.update({"use_neighborhood": "N" in won, "use_structure": "S" in won,
                 "use_position": "P" in won})
     hyp["max_epochs"] = args.retest_epochs
-    tag = f"{args.task}_seedavg_{args.channels}"
+    tag = (f"{args.task}_seedavg_{args.channels}"
+           + (f"_{args.tag}" if args.tag else ""))
     tracked = REPO / "configs" / "best" / f"{tag}_hyperparams.json"
     tracked.parent.mkdir(parents=True, exist_ok=True)
     tracked.write_text(json.dumps(hyp, indent=2) + "\n")
