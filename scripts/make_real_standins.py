@@ -189,6 +189,9 @@ def train_embeddings(task: str, out_dir: Path, emb_epochs: int,
     from subgnn_tpu.data.graph import CSRGraph
     from subgnn_tpu.prepare.node_emb import (train_node_embeddings,
                                              save_embeddings)
+    if (out_dir / "gin_embeddings.npy").exists():
+        print(f"[{task}] embeddings already present, skipping", flush=True)
+        return
     share = STATS[task].get("share_graph", task)
     if share in emb_cache:
         emb = emb_cache[share]

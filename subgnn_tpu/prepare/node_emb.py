@@ -66,8 +66,47 @@ def init_gnn_params(key, n_feat: int, n_hid: int, n_out: int):
             "conv2": _linear(k2, n_hid, n_out)}
 
 
+# Bound on the (edges, hidden) message buffer: above this many directed
+# edges the gather+segment_sum runs as a lax.scan over static edge chunks,
+# so peak HBM holds one (EDGE_CHUNK, h) buffer instead of several (E, h)
+# ones — a 6.4M-edge 128-dim graph (the HPO stand-in scale) needed 23.5G
+# of 15.75G HBM with whole-array messages (round 4).
+EDGE_CHUNK = 1 << 20
+
+
+def _gather_segment_sum(x, src, dst, n_nodes, edge_mask, chunk):
+    """segment_sum(x[src] * edge_mask, dst) with the message buffer bounded
+    to `chunk` rows (None = unchunked). Pad edges target segment n_nodes
+    (out of range -> dropped by segment_sum, the convention used
+    throughout). Chunked and unchunked differ only in fp reduction order."""
+    E = src.shape[0]
+    if chunk is None or E <= chunk:
+        msgs = x[src]
+        if edge_mask is not None:
+            msgs = msgs * edge_mask[:, None]
+        return jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
+    n_chunks = -(-E // chunk)
+    pad = n_chunks * chunk - E
+    src_c = jnp.pad(src, (0, pad)).reshape(n_chunks, chunk)
+    dst_c = jnp.pad(dst, (0, pad),
+                    constant_values=n_nodes).reshape(n_chunks, chunk)
+    em_c = (None if edge_mask is None
+            else jnp.pad(edge_mask, (0, pad)).reshape(n_chunks, chunk))
+
+    def body(acc, ch):
+        s, d, m = ch
+        msgs = x[s]
+        if m is not None:
+            msgs = msgs * m[:, None]
+        return acc + jax.ops.segment_sum(msgs, d, num_segments=n_nodes), None
+
+    acc0 = jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (src_c, dst_c, em_c))
+    return acc
+
+
 def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None,
-               edge_mask=None):
+               edge_mask=None, edge_chunk=EDGE_CHUNK):
     """One round of neighbor aggregation over directed edges (src -> dst).
 
     With `member` (float (n,) 0/1 mask) the aggregation runs on the induced
@@ -85,10 +124,8 @@ def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None,
     if member is not None:
         x = x * member[:, None]
     if conv_type == "gin":
-        msgs = x[src]
-        if edge_mask is not None:
-            msgs = msgs * edge_mask[:, None]
-        nbr = jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
+        nbr = _gather_segment_sum(x, src, dst, n_nodes, edge_mask,
+                                  edge_chunk)
         out = x + nbr
         return out if member is None else out * member[:, None]
     # gcn: D^-1/2 (A + I) D^-1/2 (degrees within the sample when masked)
@@ -97,17 +134,15 @@ def _aggregate(x, src, dst, n_nodes, conv_type: str, deg, member=None,
     elif edge_mask is not None:
         deg = jax.ops.segment_sum(edge_mask, dst, num_segments=n_nodes)
     norm = jax.lax.rsqrt(deg + 1.0)
-    msgs = (x * norm[:, None])[src]
-    if edge_mask is not None:
-        msgs = msgs * edge_mask[:, None]
-    out = jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
+    out = _gather_segment_sum(x * norm[:, None], src, dst, n_nodes,
+                              edge_mask, edge_chunk)
     out = (out + x * norm[:, None]) * norm[:, None]
     return out if member is None else out * member[:, None]
 
 
 def gnn_forward(params, x, src, dst, n_nodes, conv_type, deg, *,
                 dropout=0.0, train=False, rng=None, member=None,
-                edge_mask=None):
+                edge_mask=None, edge_chunk=EDGE_CHUNK):
     w1, b1 = params["conv1"]["w"], params["conv1"]["b"]
     if x.shape[1] > w1.shape[1]:
         # project-first: aggregation and the linear map commute
@@ -116,16 +151,17 @@ def gnn_forward(params, x, src, dst, n_nodes, conv_type, deg, *,
         # (n_edges, d) gather from d=n_feat to d=hidden — at 100k nodes
         # with 256-dim features this halves the layer-1 HBM traffic
         h = _aggregate(x @ w1, src, dst, n_nodes, conv_type, deg, member,
-                       edge_mask)
+                       edge_mask, edge_chunk)
         h = jax.nn.relu(h + b1)
     else:
         h = _aggregate(x, src, dst, n_nodes, conv_type, deg, member,
-                       edge_mask)
+                       edge_mask, edge_chunk)
         h = jax.nn.relu(h @ w1 + b1)
     if train and dropout > 0:
         keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
         h = jnp.where(keep, h / (1.0 - dropout), 0.0)
-    h = _aggregate(h, src, dst, n_nodes, conv_type, deg, member, edge_mask)
+    h = _aggregate(h, src, dst, n_nodes, conv_type, deg, member, edge_mask,
+                   edge_chunk)
     return h @ params["conv2"]["w"] + params["conv2"]["b"]
 
 
@@ -304,6 +340,10 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
     train_pos = jnp.asarray(splits["train"])
     n_neg = max(train_pos.shape[1] // 4, 1)
+    # chunked SpMM only off-mesh: reshaping a device-sharded edge axis into
+    # (n_chunks, chunk) would force GSPMD reshards; with a mesh the edge
+    # partition already divides the message buffer per device
+    echunk = None if mesh is not None else EDGE_CHUNK
     # Large graph-wide arrays travel as jit ARGUMENTS, never closure
     # constants: traced constants are embedded verbatim in the serialized
     # HLO, which at EM-USER scale (57k nodes -> ~60MB of features+edges)
@@ -319,7 +359,8 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
 
         def loss_fn(p):
             emb = gnn_forward(p, x, src_j, dst_j, n, conv_type, deg,
-                              dropout=dropout, train=True, rng=kd)
+                              dropout=dropout, train=True, rng=kd,
+                              edge_chunk=echunk)
             pos_s = _edge_scores(emb, train_pos)
             neg_s = _edge_scores(emb, neg)
             eps = 1e-7
@@ -357,7 +398,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
             def loss_fn(p):
                 emb = gnn_forward(p, x, src_j, dst_j, n, conv_type, deg,
                                   dropout=dropout, train=True, rng=kd,
-                                  member=member)
+                                  member=member, edge_chunk=echunk)
                 w_pos = member[train_pos[0]] * member[train_pos[1]]
                 pos_s = _edge_scores(emb, train_pos)
                 neg_s = _edge_scores(emb, neg)
@@ -457,7 +498,8 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                     def loss_fn(pp):
                         emb = gnn_forward(pp, x_, src_, dst_, n, conv_type,
                                           deg_, dropout=dropout, train=True,
-                                          rng=kd, edge_mask=emask)
+                                          rng=kd, edge_mask=emask,
+                                          edge_chunk=echunk)
                         # an undirected train edge is sampled once per seed
                         # endpoint (twice when both ends are seeds), like
                         # the reference's directed e_id train mask
@@ -532,7 +574,8 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         for epoch in range(0, epochs, log_every):
             print(f"node-emb epoch {epoch}: loss={loss_history[epoch]:.4f}")
 
-    emb = gnn_forward(params, x, src_j, dst_j, n, conv_type, deg)
+    emb = gnn_forward(params, x, src_j, dst_j, n, conv_type, deg,
+                      edge_chunk=echunk)
     emb_np = np.asarray(emb, dtype=np.float32)
 
     def eval_split(name):

@@ -461,3 +461,40 @@ def test_batch_norm_best_state_restored(density_dataset, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+
+
+def test_chunked_spmm_matches_unchunked(density_dataset):
+    """_gather_segment_sum with a tiny chunk must equal the whole-array
+    path (values AND grads) — the HBM-bounding path for multi-million-edge
+    graphs (round 4: the 6.4M-edge HPO stand-in OOM'd 15.75G HBM with
+    whole-array messages)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from subgnn_tpu.prepare.node_emb import gnn_forward, init_gnn_params
+    from subgnn_tpu.data.graph import CSRGraph
+    root, task_dir, _, _ = density_dataset
+    g = CSRGraph.from_edgelist(task_dir / "edge_list.txt")
+    n = g.n_nodes
+    counts = np.diff(g.indptr[1:]).astype(np.int64)
+    src = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32), counts))
+    dst = jnp.asarray((g.indices[g.indptr[1]:] - 1).astype(np.int32))
+    deg = jnp.asarray(g.degrees[1:].astype(np.float32))
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, 12))
+    params = init_gnn_params(jax.random.PRNGKey(1), 12, 16, 8)
+    emask = jnp.asarray(
+        (np.random.default_rng(2).random(src.shape[0]) > 0.3)
+        .astype(np.float32))
+    for conv in ("gin", "gcn"):
+        for em in (None, emask):
+            def loss(p, chunk):
+                return gnn_forward(p, x, src, dst, n, conv, deg,
+                                   edge_mask=em, edge_chunk=chunk).sum()
+            full_v, full_g = jax.value_and_grad(loss)(params, None)
+            ch_v, ch_g = jax.value_and_grad(loss)(params, 37)
+            np.testing.assert_allclose(float(full_v), float(ch_v),
+                                       rtol=1e-5)
+            for a, b in zip(jax.tree_util.tree_leaves(full_g),
+                            jax.tree_util.tree_leaves(ch_g)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-5)
