@@ -16,7 +16,7 @@ for q in 4 5 6; do
 done
 
 python -u scripts/make_real_standins.py --emb -emb_epochs 10 \
-  -tasks hpo_metab,hpo_neuro,em_user
+  -tasks em_user
 time python -u scripts/reproduce_real.py -n_seeds 10 \
-  -tasks hpo_metab,hpo_neuro,em_user
+  -tasks em_user
 echo "=== ROUND4 QUEUE9 DONE ($(date)) ==="
