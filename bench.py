@@ -62,7 +62,12 @@ def main():
     # 150M@2048 — fixed ~900us/step op-sequencing amortizes with B until
     # the B=2048 spill regime; PERF.md knee section)
     import os
-    B, C, n_nodes = 1024, 3, 8192
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # per-dtype knee: fp32 doubles bytes/step and hits the spill regime at
+    # half the batch (measured: fp32 207M@512 > 164M@1024, while bf16
+    # 277M@1024 > 239M@512 — bench_knee.py + queue6 A/B)
+    B = 1024 if dtype == "bfloat16" else 512
+    C, n_nodes = 3, 8192
     hp_overrides = dict(node_embed_size=128, n_layers=2,
                         n_anchor_patches_N_in=15, n_anchor_patches_N_out=30,
                         n_anchor_patches_pos_in=30, n_anchor_patches_pos_out=60,
@@ -75,7 +80,7 @@ def main():
                         # headline frozen configs (bf16 >= fp32 on every
                         # task, RESULTS.md bf16 parity table, round 3).
                         # BENCH_DTYPE=float32 runs the fp32 A/B.
-                        dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
+                        dtype=dtype)
     model, hp, params, state, batch, anchors = ge._build_flagship(
         n_nodes=n_nodes, n_sub=B, C=C, L=16, n_pool=150,
         hp_overrides=hp_overrides)
