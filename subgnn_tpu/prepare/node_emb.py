@@ -197,6 +197,39 @@ def _edge_scores(emb, edges):
     return jax.nn.sigmoid((emb[edges[0]] * emb[edges[1]]).sum(axis=-1))
 
 
+def _edge_nll(emb, edges, w, positive: bool, chunk):
+    """sum_e w_e * -log(p_e) (positive) or -log(1-p_e) — the link-pred NLL
+    over an edge array, with the (E, d) endpoint gathers bounded to
+    `chunk` edges and REMATERIALIZED in the backward (jax.checkpoint on
+    the scan body): at EM-USER stand-in scale the train split has 3.67M
+    edges, whose whole-array endpoint gathers were 3.8GB per buffer and
+    OOM'd HBM even after the SpMM was chunked (round 4). w=None means
+    unweighted. Chunked vs whole-array differs only in fp reduction
+    order."""
+    eps = 1e-7
+    E = edges.shape[1]
+    if chunk is None or E <= chunk:
+        s = _edge_scores(emb, edges)
+        t = -jnp.log(s + eps) if positive else -jnp.log1p(-s + eps)
+        return (t * w).sum() if w is not None else t.sum()
+    n_chunks = -(-E // chunk)
+    pad = n_chunks * chunk - E
+    e_c = jnp.pad(edges, ((0, 0), (0, pad))).reshape(2, n_chunks, chunk)
+    w_full = jnp.ones(E, emb.dtype) if w is None else w
+    w_c = jnp.pad(w_full, (0, pad)).reshape(n_chunks, chunk)  # pad w=0
+
+    @jax.checkpoint
+    def body(acc, ch):
+        e0, e1, ww = ch
+        s = jax.nn.sigmoid((emb[e0] * emb[e1]).sum(axis=-1))
+        t = -jnp.log(s + eps) if positive else -jnp.log1p(-s + eps)
+        return acc + (t * ww).sum(), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((), emb.dtype),
+                          (e_c[0], e_c[1], w_c))
+    return acc
+
+
 def build_in_edge_table(dst: np.ndarray, n: int):
     """Host-side routing for exact-k neighbor sampling: edge-array positions
     of each node's incoming edges.
@@ -361,10 +394,8 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
             emb = gnn_forward(p, x, src_j, dst_j, n, conv_type, deg,
                               dropout=dropout, train=True, rng=kd,
                               edge_chunk=echunk)
-            pos_s = _edge_scores(emb, train_pos)
-            neg_s = _edge_scores(emb, neg)
-            eps = 1e-7
-            loss = -(jnp.log(pos_s + eps).sum() + jnp.log(1 - neg_s + eps).sum())
+            loss = (_edge_nll(emb, train_pos, None, True, echunk)
+                    + _edge_nll(emb, neg, None, False, None))
             return loss / (train_pos.shape[1] + n_neg)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -400,11 +431,8 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                                   dropout=dropout, train=True, rng=kd,
                                   member=member, edge_chunk=echunk)
                 w_pos = member[train_pos[0]] * member[train_pos[1]]
-                pos_s = _edge_scores(emb, train_pos)
-                neg_s = _edge_scores(emb, neg)
-                eps = 1e-7
-                pos_term = -(w_pos * jnp.log(pos_s + eps)).sum()
-                neg_term = -jnp.log(1 - neg_s + eps).sum()
+                pos_term = _edge_nll(emb, train_pos, w_pos, True, echunk)
+                neg_term = _edge_nll(emb, neg, None, False, None)
                 return (pos_term + neg_term) / (w_pos.sum() + n_neg_saint)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -505,13 +533,11 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                         # the reference's directed e_id train mask
                         w_pos = (seed_mask[train_pos_[0]]
                                  + seed_mask[train_pos_[1]])
-                        pos_s = _edge_scores(emb, train_pos_)
-                        neg_s = _edge_scores(emb, neg)
-                        eps = 1e-7
-                        pos_term = -(w_pos * jnp.log(pos_s + eps)).sum()
-                        neg_term = -(w_neg * jnp.log(1 - neg_s + eps)).sum()
+                        pos_term = _edge_nll(emb, train_pos_, w_pos, True,
+                                             echunk)
+                        neg_term = _edge_nll(emb, neg, w_neg, False, None)
                         return ((pos_term + neg_term)
-                                / (w_pos.sum() + w_neg.sum() + eps))
+                                / (w_pos.sum() + w_neg.sum() + 1e-7))
 
                     loss, grads = jax.value_and_grad(loss_fn)(p)
                     updates, o = tx.update(grads, o, p)
