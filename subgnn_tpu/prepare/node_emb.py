@@ -15,8 +15,8 @@ preprocess.py:27-86, utils.py:22-59) with a jit-compiled JAX trainer:
     (preprocess.py:64-82),
   * three minibatch modes (train_node_emb.py:52-56): full-batch (default;
     the shipped graphs are <=60k nodes), a GraphSAINT-style random-walk
-    sampler run ENTIRELY on device (stateless-RNG walks over a padded
-    neighbor table pick the node sample; the induced subgraph is a
+    sampler run ENTIRELY on device (stateless-RNG walks over the flat CSR
+    arrays pick the node sample — O(E) memory, no padded hub-width table; the induced subgraph is a
     membership mask over the full edge arrays — static shapes, no host
     gather, same O(E) segment-sum with messages outside the sample
     zeroed), and the NeighborSampler mode (per-epoch shuffled seed-node
@@ -166,13 +166,17 @@ def gnn_forward(params, x, src, dst, n_nodes, conv_type, deg, *,
 
 
 @functools.partial(jax.jit, static_argnames=("walk_len", "n_walks"))
-def _plain_walks_device(nbr_table, degrees, key, *, walk_len: int,
+def _plain_walks_device(indptr, indices, degrees, key, *, walk_len: int,
                         n_walks: int) -> jnp.ndarray:
     """(n_walks, walk_len) uniform random walks from uniform roots, 1-based
     ids, dead ends repeat the last node (GraphSAINTRandomWalkSampler
-    semantics: torch_geometric random_walk; train_node_emb.py:56)."""
-    n = nbr_table.shape[0] - 1
-    max_deg = nbr_table.shape[1]
+    semantics: torch_geometric random_walk; train_node_emb.py:56).
+
+    Walks the FLAT CSR arrays (indptr/indices device copies, O(E) memory)
+    instead of a padded (n, max_deg) neighbor table: on power-law graphs
+    the padded table is O(n * hub_degree) — 7.8 GB alone at the EM-USER
+    stand-in (57k nodes, 36k-degree hub; round 4 OOM)."""
+    n = degrees.shape[0] - 1
     keys = jax.random.split(key, n_walks)
 
     def one_walk(k):
@@ -182,7 +186,7 @@ def _plain_walks_device(nbr_table, degrees, key, *, walk_len: int,
         def step(curr, kt):
             d = degrees[curr]
             idx = jax.random.randint(kt, (), 0, jnp.maximum(d, 1))
-            nxt = nbr_table[curr, max_deg - 1 - idx]
+            nxt = indices[indptr[curr] + idx]
             nxt = jnp.where(d > 0, nxt, curr)
             return nxt, nxt
 
@@ -403,16 +407,18 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         return optax.apply_updates(params, updates), opt_state, loss, rng
 
     if minibatch == "graphsaint":
-        nbr_table, degrees_1b = padded_neighbor_table(graph)
-        saint_data = (*data, jnp.asarray(nbr_table), jnp.asarray(degrees_1b))
+        saint_data = (*data, jnp.asarray(graph.indptr),
+                      jnp.asarray(graph.indices),
+                      jnp.asarray(graph.degrees.astype(np.int32)))
         sample_ids_n = batch_size * walk_length
         n_neg_saint = max(sample_ids_n // 8, 1)
 
         @jax.jit
         def saint_step(params, opt_state, rng, data):
-            x, src_j, dst_j, deg, train_pos, nbr_table, degrees_1b = data
+            (x, src_j, dst_j, deg, train_pos, indptr_j, indices_j,
+             degrees_1b) = data
             rng, kw, kd, kn1, kn2 = jax.random.split(rng, 5)
-            walks = _plain_walks_device(nbr_table, degrees_1b, kw,
+            walks = _plain_walks_device(indptr_j, indices_j, degrees_1b, kw,
                                         walk_len=walk_length,
                                         n_walks=batch_size)     # 1-based
             sample_ids = walks.reshape(-1)                       # (B*L,)
