@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.graph import CSRGraph
-from ..sampling.device_walks import padded_neighbor_table
+
 from ..train.metrics import binary_auc
 
 # epochs per fused device dispatch: one multi-minute execution gets the
