@@ -89,6 +89,13 @@ def main():
                     help="suffix for the study dir — use when re-running "
                          "with a changed protocol/space so stale trials "
                          "don't resume")
+    ap.add_argument("-race_margin", type=float, default=0.0,
+                    help="seed racing: skip a trial's remaining seeds when "
+                         "its first-seed score is more than this margin "
+                         "below the study's best seed-mean (0 = off). "
+                         "Saves ~40%% of trial cost on clearly-losing "
+                         "configs; 0.10 covers the measured per-seed "
+                         "noise on 40-example holdouts")
     ap.add_argument("-gen_seed", type=int, default=42)
     ap.add_argument("-n", type=int, default=1000)
     ap.add_argument("-project_root", default="data")
@@ -192,15 +199,23 @@ def main():
                 "n_anchor_patches_pos_out":
                     trial.suggest_int("n_anchor_patches_pos_out", 30, 90),
             })
-        vals = score_config(p, range(args.hpo_seeds))
+        race_ref = None
+        if args.race_margin > 0:
+            complete = [t["value"] for t in study.trials
+                        if not t.get("pruned")]
+            if len(complete) >= 5:
+                race_ref = max(complete)
+        vals = score_config(p, range(args.hpo_seeds), race_ref=race_ref)
         m = float(np.mean(vals))
         print(f"trial {len(study.trials)}: seed-mean {m:.4f} "
-              f"(per-seed {[round(v, 3) for v in vals]}) {p}", flush=True)
+              f"(per-seed {[round(v, 3) for v in vals]})"
+              f"{' RACED' if len(vals) < args.hpo_seeds else ''} {p}",
+              flush=True)
         return m
 
-    def score_config(p, seeds):
+    def score_config(p, seeds, race_ref=None):
         vals = []
-        for s in seeds:
+        for i, s in enumerate(seeds):
             hp = HParams.from_dict({**base, **p, "seed": int(s)})
             pipe = SubGNNPipeline(rc, hp, train_holdout=holdout)
             out = pipe.run(log_fn=None)
@@ -212,6 +227,14 @@ def main():
                     for m in pipe.trainer.metric_scores))
             else:
                 vals.append(float(out["best_monitor"]))
+            # seed racing: a trial whose FIRST seed lands far below the
+            # study's best seed-mean cannot win even if its later seeds are
+            # lucky — skip them and return the pessimistic 1-seed value.
+            # race_margin should cover per-seed noise (~0.085 measured on
+            # the 40-example holdout, RESULTS.md round 4)
+            if (race_ref is not None and i == 0 and len(seeds) > 1
+                    and vals[0] < race_ref - args.race_margin):
+                break
         return vals
 
     def params_to_config(tp):
@@ -225,6 +248,16 @@ def main():
     study_dir = root / "tb" / (f"{args.task}_seedavg_{args.channels}"
                                + (f"_{args.tag}" if args.tag else ""))
     study_dir.mkdir(parents=True, exist_ok=True)
+    # cross-session resume: data/ is wiped between sessions, but the
+    # harvest watchdog snapshots study.json into the TRACKED harvest/ dir
+    # (scripts/harvest_watchdog.sh). The instance itself regenerates
+    # byte-stable (seeded), so trial history stays valid.
+    snap = REPO / "harvest" / study_dir.name / "study.json"
+    if not (study_dir / "study.json").exists() and snap.exists():
+        (study_dir / "study.json").write_bytes(snap.read_bytes())
+        n = len(json.loads(snap.read_text())["trials"])
+        print(f"resumed {study_dir.name} from harvest snapshot "
+              f"({n} trials)", flush=True)
     study = Study(study_dir / "study.json", direction="maximize",
                   sampler="tpe", seed=0)
     study.optimize(objective, args.trials)
