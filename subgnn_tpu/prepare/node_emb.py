@@ -275,6 +275,71 @@ def exact_k_edge_mask(key, in_pos, in_valid, k: int, E: int):
         sel.reshape(-1).astype(jnp.float32))[:E]
 
 
+def make_saint_kernels(*, n: int, conv_type: str, dropout: float, tx,
+                       batch_size: int, walk_length: int, num_steps: int,
+                       edge_chunk):
+    """Build the jitted GraphSAINT (step, run_chunk) pair.
+
+    Module-level factory (rather than closures inside
+    train_node_embeddings) so diagnostics can AOT-compile the exact
+    training step at a target graph's shapes and read
+    compiled.memory_analysis() — the axon TPU worker gives no OOM
+    breakdown when it dies (scripts/diag_emuser_emb.py)."""
+    import optax
+    sample_ids_n = batch_size * walk_length
+    n_neg_saint = max(sample_ids_n // 8, 1)
+
+    @jax.jit
+    def saint_step(params, opt_state, rng, data):
+        (x, src_j, dst_j, deg, train_pos, indptr_j, indices_j,
+         degrees_1b) = data
+        rng, kw, kd, kn1, kn2 = jax.random.split(rng, 5)
+        walks = _plain_walks_device(indptr_j, indices_j, degrees_1b, kw,
+                                    walk_len=walk_length,
+                                    n_walks=batch_size)     # 1-based
+        sample_ids = walks.reshape(-1)                       # (B*L,)
+        member = jnp.zeros(n + 1).at[sample_ids].set(1.0)[1:]  # (n,)
+        # negatives drawn from the sampled nodes (within-subgraph
+        # negative_sampling analog, train_node_emb.py:63)
+        neg = jnp.stack([
+            sample_ids[jax.random.randint(kn1, (n_neg_saint,), 0,
+                                          sample_ids_n)] - 1,
+            sample_ids[jax.random.randint(kn2, (n_neg_saint,), 0,
+                                          sample_ids_n)] - 1])
+        neg = jnp.clip(neg, 0, n - 1)
+
+        def loss_fn(p):
+            emb = gnn_forward(p, x, src_j, dst_j, n, conv_type, deg,
+                              dropout=dropout, train=True, rng=kd,
+                              member=member, edge_chunk=edge_chunk)
+            w_pos = member[train_pos[0]] * member[train_pos[1]]
+            pos_term = _edge_nll(emb, train_pos, w_pos, True, edge_chunk)
+            neg_term = _edge_nll(emb, neg, None, False, None)
+            return (pos_term + neg_term) / (w_pos.sum() + n_neg_saint)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, rng
+
+    @functools.partial(jax.jit, static_argnames=("n_epochs",))
+    def saint_run_chunk(params, opt_state, rng, data, *, n_epochs):
+        def epoch_body(carry, _):
+            def step_body(c, _):
+                p, o, r = c
+                p, o, loss, r = saint_step(p, o, r, data)
+                return (p, o, r), loss
+
+            c, losses = jax.lax.scan(step_body, carry, None,
+                                     length=num_steps)
+            return c, losses.mean()
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            epoch_body, (params, opt_state, rng), None, length=n_epochs)
+        return params, opt_state, losses
+
+    return saint_step, saint_run_chunk
+
+
 def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
                           hidden: int = 128, out_dim: int = 64,
                           lr: float = 1e-3, weight_decay: float = 5e-4,
@@ -410,40 +475,10 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         saint_data = (*data, jnp.asarray(graph.indptr),
                       jnp.asarray(graph.indices),
                       jnp.asarray(graph.degrees.astype(np.int32)))
-        sample_ids_n = batch_size * walk_length
-        n_neg_saint = max(sample_ids_n // 8, 1)
-
-        @jax.jit
-        def saint_step(params, opt_state, rng, data):
-            (x, src_j, dst_j, deg, train_pos, indptr_j, indices_j,
-             degrees_1b) = data
-            rng, kw, kd, kn1, kn2 = jax.random.split(rng, 5)
-            walks = _plain_walks_device(indptr_j, indices_j, degrees_1b, kw,
-                                        walk_len=walk_length,
-                                        n_walks=batch_size)     # 1-based
-            sample_ids = walks.reshape(-1)                       # (B*L,)
-            member = jnp.zeros(n + 1).at[sample_ids].set(1.0)[1:]  # (n,)
-            # negatives drawn from the sampled nodes (within-subgraph
-            # negative_sampling analog, train_node_emb.py:63)
-            neg = jnp.stack([
-                sample_ids[jax.random.randint(kn1, (n_neg_saint,), 0,
-                                              sample_ids_n)] - 1,
-                sample_ids[jax.random.randint(kn2, (n_neg_saint,), 0,
-                                              sample_ids_n)] - 1])
-            neg = jnp.clip(neg, 0, n - 1)
-
-            def loss_fn(p):
-                emb = gnn_forward(p, x, src_j, dst_j, n, conv_type, deg,
-                                  dropout=dropout, train=True, rng=kd,
-                                  member=member, edge_chunk=echunk)
-                w_pos = member[train_pos[0]] * member[train_pos[1]]
-                pos_term = _edge_nll(emb, train_pos, w_pos, True, echunk)
-                neg_term = _edge_nll(emb, neg, None, False, None)
-                return (pos_term + neg_term) / (w_pos.sum() + n_neg_saint)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, rng
+        saint_step, saint_run_chunk = make_saint_kernels(
+            n=n, conv_type=conv_type, dropout=dropout, tx=tx,
+            batch_size=batch_size, walk_length=walk_length,
+            num_steps=num_steps, edge_chunk=echunk)
     elif minibatch not in ("full", "neighbor"):
         raise ValueError(minibatch)
 
@@ -455,22 +490,6 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
     # gets the axon TPU worker killed (observed at 100k nodes x 40 saint
     # epochs), and the handful of extra RTTs is negligible.
     if minibatch == "graphsaint":
-        @functools.partial(jax.jit, static_argnames=("n_epochs",))
-        def saint_run_chunk(params, opt_state, rng, data, *, n_epochs):
-            def epoch_body(carry, _):
-                def step_body(c, _):
-                    p, o, r = c
-                    p, o, loss, r = saint_step(p, o, r, data)
-                    return (p, o, r), loss
-
-                c, losses = jax.lax.scan(step_body, carry, None,
-                                         length=num_steps)
-                return c, losses.mean()
-
-            (params, opt_state, rng), losses = jax.lax.scan(
-                epoch_body, (params, opt_state, rng), None, length=n_epochs)
-            return params, opt_state, losses
-
         run_chunk, run_data = saint_run_chunk, saint_data
     elif minibatch == "neighbor":
         n_batches = -(-n // batch_size)
