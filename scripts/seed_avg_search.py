@@ -111,8 +111,13 @@ def main():
 
     root = Path(args.project_root)
     task_dir = root / args.task
-    if not (task_dir / "subgraphs.pth").exists():
+    # guard on the LAST artifact prepare writes (embeddings), not the
+    # first (subgraphs.pth): an instance left half-prepared by a scan or a
+    # killed session has subgraphs.pth but no embeddings, and every trial
+    # would crash at load time (reproduce_results.sh uses the same guard)
+    if not (task_dir / "gin_embeddings.npy").exists():
         prepare(task_dir, args.property, seed=args.gen_seed, emb_epochs=100,
+                generate_graph=not (task_dir / "subgraphs.pth").exists(),
                 n=args.n, n_subgraphs=250, n_subgraph_nodes=20)
 
     from subgnn_tpu.train.hpo import CHANNEL_SUBSETS, suggest_channels
@@ -254,10 +259,15 @@ def main():
     # byte-stable (seeded), so trial history stays valid.
     snap = REPO / "harvest" / study_dir.name / "study.json"
     if not (study_dir / "study.json").exists() and snap.exists():
-        (study_dir / "study.json").write_bytes(snap.read_bytes())
-        n = len(json.loads(snap.read_text())["trials"])
-        print(f"resumed {study_dir.name} from harvest snapshot "
-              f"({n} trials)", flush=True)
+        try:  # validate BEFORE installing: a snapshot that raced a kill
+            n = len(json.loads(snap.read_text())["trials"])
+        except (json.JSONDecodeError, KeyError) as e:
+            print(f"harvest snapshot for {study_dir.name} is corrupt "
+                  f"({e}) — starting fresh", flush=True)
+        else:
+            (study_dir / "study.json").write_bytes(snap.read_bytes())
+            print(f"resumed {study_dir.name} from harvest snapshot "
+                  f"({n} trials)", flush=True)
     study = Study(study_dir / "study.json", direction="maximize",
                   sampler="tpe", seed=0)
     study.optimize(objective, args.trials)

@@ -283,8 +283,14 @@ class Study:
 
     def _save(self):
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self.path.write_text(json.dumps({"trials": self.trials}, indent=2,
-                                        default=float))
+        # write-temp-then-rename: _save runs after EVERY trial, and study
+        # files are snapshotted/copied by external harvesters (scripts/
+        # harvest_watchdog.sh) — an in-place truncate-and-write would let a
+        # concurrent copy (or a kill mid-write) capture truncated JSON
+        tmp = self.path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"trials": self.trials}, indent=2,
+                                  default=float))
+        tmp.replace(self.path)
 
     def optimize(self, objective: Callable[[Trial], float], n_trials: int):
         start = len(self.trials)
