@@ -50,6 +50,22 @@ from ..train.metrics import binary_auc
 EPOCH_DISPATCH_CHUNK = 10
 
 
+def saint_dispatch_epochs(num_steps: int, n_directed_edges: int,
+                          budget: int = 200_000_000) -> int:
+    """Epochs per fused GraphSAINT dispatch, calibrated by EDGE-STEP work —
+    deterministically (never wall-clock: the embedding draw must stay
+    byte-stable across machines). The axon worker kills dispatches well
+    below the documented multi-minute class at large scale — measured at
+    EM-USER shapes (57k nodes / 9.17M directed edges,
+    scripts/diag_emuser_emb.py): one 8-step epoch = 7.8s ran fine, the
+    10-epoch ~80s dispatch died; HBM was NOT the issue (temp 1.72G of
+    15.75G). 200M edge-steps/dispatch ≈ 16s there, and the old 10-epoch
+    behavior is preserved for graphs under ~2.5M directed edges at
+    num_steps=8."""
+    per_epoch_work = num_steps * max(n_directed_edges, 1)
+    return max(1, min(EPOCH_DISPATCH_CHUNK, budget // per_epoch_work))
+
+
 def _uniform(key, shape, bound):
     return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
 
@@ -607,18 +623,7 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         # axon TPU worker (module comment above)
         chunk = max(1, (EPOCH_DISPATCH_CHUNK * 32) // (-(-n // batch_size)))
     elif minibatch == "graphsaint":
-        # calibrate by EDGE-STEP work, deterministically (never wall-clock:
-        # the embedding draw must stay byte-stable across machines). The
-        # axon worker kills dispatches well below the documented
-        # multi-minute class at large scale — measured at EM-USER shapes
-        # (57k nodes / 9.17M directed edges, scripts/diag_emuser_emb.py):
-        # one 8-step epoch = 7.8s ran fine, the 10-epoch ~80s dispatch
-        # died; HBM was NOT the issue (temp 1.72G of 15.75G). 200M
-        # edge-steps/dispatch ≈ 16s there, with the old 10-epoch behavior
-        # preserved for graphs under ~2.5M directed edges at num_steps=8.
-        per_epoch_work = num_steps * max(int(src_j.shape[0]), 1)
-        chunk = max(1, min(EPOCH_DISPATCH_CHUNK,
-                           int(200_000_000 // per_epoch_work)))
+        chunk = saint_dispatch_epochs(num_steps, int(src_j.shape[0]))
     else:
         chunk = EPOCH_DISPATCH_CHUNK
     for e0 in range(0, epochs, chunk):

@@ -245,6 +245,22 @@ def test_node_emb_graphsaint_minibatch(density_dataset):
     assert metrics["val_auc"] > 0.6, metrics
 
 
+def test_saint_dispatch_epochs_work_calibrated():
+    """Fused GraphSAINT dispatches are sized by deterministic edge-step
+    work: the axon worker kills ~80s single dispatches at EM-USER scale
+    while memory stays fine (scripts/diag_emuser_emb.py, round 4)."""
+    from subgnn_tpu.prepare.node_emb import (EPOCH_DISPATCH_CHUNK,
+                                             saint_dispatch_epochs)
+    # small graphs keep the historical 10-epoch dispatches
+    assert saint_dispatch_epochs(8, 100_000) == EPOCH_DISPATCH_CHUNK
+    assert saint_dispatch_epochs(32, 600_000) == EPOCH_DISPATCH_CHUNK
+    # EM-USER shapes (9.17M directed edges, num_steps=8): 200M edge-steps
+    # per dispatch = 2 epochs (~16s measured, vs the 10-epoch kill)
+    assert saint_dispatch_epochs(8, 9_166_800) == 2
+    # never zero, even beyond the budget
+    assert saint_dispatch_epochs(32, 50_000_000) == 1
+
+
 def test_node_emb_neighbor_minibatch(density_dataset):
     """The reference's third minibatch mode (PyG NeighborSampler,
     train_node_emb.py:52-53): per-epoch shuffled seed batches, training on
