@@ -275,6 +275,31 @@ def main():
     print("BEST:", best["number"], best["value"],
           json.dumps(best["params"], default=float), flush=True)
 
+    if auto_channels:
+        # per-channel winner files, mirroring the reference's artifact
+        # layout best_model_hyperparameters/<task>/{N,S,P,all}_*.json
+        # (pair subsets, an extension, keep their letters)
+        per_ch_dir = REPO / "configs" / "best" / args.task
+        per_ch_dir.mkdir(parents=True, exist_ok=True)
+        by_subset = {}
+        for t in study.trials:
+            if t.get("pruned"):
+                continue
+            sub = t["params"].get("channel_subset", "S")
+            if sub not in by_subset or t["value"] > by_subset[sub]["value"]:
+                by_subset[sub] = t
+        for sub, t in sorted(by_subset.items()):
+            h = dict(base)
+            h.update(params_to_config(t["params"]))
+            h["max_epochs"] = args.retest_epochs
+            name = "all" if set(sub) == {"N", "S", "P"} else sub
+            (per_ch_dir / f"{name}_{args.task}_hyperparams.json").write_text(
+                json.dumps(h, indent=2, default=float) + "\n")
+            print(f"per-channel winner {sub}: trial {t['number']} "
+                  f"value {t['value']:.4f} -> "
+                  f"{per_ch_dir}/{name}_{args.task}_hyperparams.json",
+                  flush=True)
+
     if args.finalists > 0:
         # two-stage selection: the argmax over many noisy trial scores is
         # inflated by the winner's curse (sigma*sqrt(2 ln T) — measured
