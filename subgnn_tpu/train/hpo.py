@@ -219,9 +219,12 @@ class TPESampler:
 
     @staticmethod
     def _log_kde(x, centers, bw):
-        d = (x[:, None] - centers[None, :]) / bw
-        return (np.log(np.mean(np.exp(-0.5 * d * d), axis=1) + 1e-300)
-                - math.log(bw))
+        # bw: scalar or per-center array (the uniform-prior pseudo-center
+        # carries a range-wide bandwidth)
+        bw = np.broadcast_to(np.asarray(bw, float), centers.shape)
+        d = (x[:, None] - centers[None, :]) / bw[None, :]
+        dens = np.mean(np.exp(-0.5 * d * d) / bw[None, :], axis=1)
+        return np.log(dens + 1e-300)
 
     def propose(self, name, kind, meta, rng):
         good, bad = self._split(name)
@@ -251,10 +254,33 @@ class TPESampler:
             return max(s * len(data) ** -0.2, (hi - lo) / 100.0, 1e-12)
 
         bw_g, bw_b = bw(g), bw(b)
-        centers = g[rng.integers(len(g), size=self.n_candidates)]
-        cand = np.clip(centers + rng.normal(size=self.n_candidates) * bw_g,
-                       lo, hi)
-        score = self._log_kde(cand, g, bw_g) - self._log_kde(cand, b, bw_b)
+        # optuna-style uniform prior component: one pseudo-center at the
+        # range midpoint with range-wide bandwidth, mixed into the good KDE
+        # for BOTH candidate draws and both density scores. Without it
+        # (and with clipping instead of reflection below) a good trial at
+        # a bound creates an absorbing atom: clipped draws stack exactly
+        # ON the bound, the density ratio peaks there, and the sampler
+        # proposes the identical config forever — measured on the round-4
+        # coreness attempt-4 study, where ~20 of 48 trials were the same
+        # all-bounds corner point (RESULTS.md round 4)
+        mid, wide = (lo + hi) / 2.0, max(hi - lo, 1e-12)
+        g_prior = np.append(g, mid)
+        b_prior = np.append(b, mid)
+        pick = rng.integers(len(g_prior), size=self.n_candidates)
+        centers = g_prior[pick]
+        widths = np.where(pick == len(g), wide, bw_g)
+        cand = centers + rng.normal(size=self.n_candidates) * widths
+        # reflect at the bounds instead of clipping (no boundary atom)
+        span = hi - lo
+        if span > 0:
+            cand = np.abs((cand - lo) % (2 * span))
+            cand = lo + np.where(cand > span, 2 * span - cand, cand)
+        else:
+            cand = np.full_like(cand, lo)
+        bwg_arr = np.append(np.full(len(g), bw_g), wide)
+        bwb_arr = np.append(np.full(len(b), bw_b), wide)
+        score = (self._log_kde(cand, g_prior, bwg_arr)
+                 - self._log_kde(cand, b_prior, bwb_arr))
         x = float(cand[int(np.argmax(score))])
         return math.exp(x) if log else x
 
