@@ -66,11 +66,24 @@ def main():
     rows = []
     for s in seeds:
         d = root / f"{prefix}{s}"
-        if not (d / "subgraphs.pth").exists():
-            build_synthetic_dataset(d, desired_property=args.property,
-                                    seed=s, n=args.n,
-                                    n_subgraphs=args.n_subgraphs,
-                                    n_subgraph_nodes=args.n_subgraph_nodes)
+        try:
+            if not (d / "subgraphs.pth").exists():
+                build_synthetic_dataset(d, desired_property=args.property,
+                                        seed=s, n=args.n,
+                                        n_subgraphs=args.n_subgraphs,
+                                        n_subgraph_nodes=args.n_subgraph_nodes)
+        except Exception as e:  # noqa: BLE001 — a dead draw must not kill the scan
+            # some draws are unusable BY CONSTRUCTION, same as the reference:
+            # star components have n+1 nodes, the planting zip truncates
+            # (prepare_dataset.py:502-504), and the orphan node can merge
+            # with a base node into a self-loop that nx.core_number rejects.
+            # The reference's generator crashes identically on such draws —
+            # skip the seed and keep scanning.
+            print("SCAN_SKIP " + json.dumps(
+                {"seed": s, "error": f"{type(e).__name__}: {e}"[:200]}),
+                flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+            continue
         row = dict(seed=s, task=d.name, **oracle_ceiling(d, args.property))
         rows.append(row)
         print(json.dumps(row), flush=True)

@@ -61,7 +61,13 @@ def saint_dispatch_epochs(num_steps: int, n_directed_edges: int,
     10-epoch ~80s dispatch died; HBM was NOT the issue (temp 1.72G of
     15.75G). 200M edge-steps/dispatch ≈ 16s there, and the old 10-epoch
     behavior is preserved for graphs under ~2.5M directed edges at
-    num_steps=8."""
+    num_steps=8.
+
+    The budget constant is part of the BYTE-STABILITY CONTRACT: chunk
+    boundaries are the rng fold points (fold_in(key, e0)), so changing
+    it changes every embedding draw on graphs above the threshold. Fold
+    sequences are pinned by
+    test_saint_fold_points_byte_stability_contract."""
     per_epoch_work = num_steps * max(n_directed_edges, 1)
     return max(1, min(EPOCH_DISPATCH_CHUNK, budget // per_epoch_work))
 

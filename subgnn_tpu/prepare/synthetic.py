@@ -143,7 +143,17 @@ class SyntheticGraphBuilder:
 
     def _by_coreness(self, n_subgraphs, n_nodes, n_cc, gen):
         """Plant components on same-core-number node groups
-        (prepare_dataset.py:227-286)."""
+        (prepare_dataset.py:227-286).
+
+        Known reference-parity hazard (kept for byte-stability): star
+        components have n_nodes+1 nodes, so the zip with the n_nodes
+        sampled ids truncates (same as prepare_dataset.py:502-504) and
+        the orphan component node keeps its small-int label; if that
+        label collides with a sampled base node the compose merges them
+        into a SELF-LOOP, and a later nx.core_number raises. The
+        reference's generator crashes identically on such draws — they
+        are unusable by construction; instance scans skip them
+        (scripts/density_instance_scan.py SCAN_SKIP)."""
         subgraphs = []
         core = nx.core_number(self.graph)
         by_core = defaultdict(list)

@@ -11,8 +11,10 @@ train_config.py:266-271).
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import math
+import os
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
 
@@ -43,6 +45,10 @@ class Trial:
         self.study = study
         self.sampler_hook = sampler_hook
         self.intermediate: Dict[int, float] = {}
+        # free-form annotations persisted with the trial record (optuna
+        # user_attrs analog) — e.g. seed_avg_search records n_seeds_scored
+        # so raced (1-seed) values stay distinguishable on resume
+        self.attrs: Dict[str, Any] = {}
 
     def _hook(self, name: str, kind: str, **meta):
         """Ask the study's sampler (e.g. TPE) for a value; None -> the
@@ -302,6 +308,11 @@ class Study:
         self.tpe = (TPESampler(direction=direction)
                     if sampler not in ("grid", "random") else None)
         self.trials: List[Dict[str, Any]] = []
+        # clear stale temp files left by a kill between write and rename
+        # (the temp name is PID-suffixed, so live writers are untouched)
+        for stale in self.path.parent.glob(self.path.name + ".*.tmp"):
+            with contextlib.suppress(OSError):
+                stale.unlink()
         if self.path.exists():
             self.trials = json.loads(self.path.read_text())["trials"]
         if self.tpe is not None:
@@ -313,7 +324,10 @@ class Study:
         # files are snapshotted/copied by external harvesters (scripts/
         # harvest_watchdog.sh) — an in-place truncate-and-write would let a
         # concurrent copy (or a kill mid-write) capture truncated JSON
-        tmp = self.path.with_suffix(".json.tmp")
+        # PID-suffixed so two processes racing on one study dir (the
+        # documented round-3 hazard) cannot rename each other's partial
+        # writes; Study.__init__ sweeps any stale leftovers
+        tmp = self.path.with_name(f"{self.path.name}.{os.getpid()}.tmp")
         tmp.write_text(json.dumps({"trials": self.trials}, indent=2,
                                   default=float))
         tmp.replace(self.path)
@@ -342,7 +356,8 @@ class Study:
                 "number": t, "value": float(value), "params": trial.params,
                 "pruned": pruned,
                 "intermediate": {str(k): v
-                                 for k, v in trial.intermediate.items()}})
+                                 for k, v in trial.intermediate.items()},
+                **({"attrs": trial.attrs} if trial.attrs else {})})
             self._save()
         return self
 

@@ -261,6 +261,27 @@ def test_saint_dispatch_epochs_work_calibrated():
     assert saint_dispatch_epochs(32, 50_000_000) == 1
 
 
+def test_saint_fold_points_byte_stability_contract():
+    """The 200M edge-step budget is part of the byte-stability contract:
+    chunk boundaries are the rng fold points (fold_in(key, e0)), so a
+    budget tweak silently changes every embedding draw on graphs above
+    ~2.5M directed edges. Pin the fold sequences for the large-graph
+    regimes so such a change fails HERE, loudly, instead."""
+    from subgnn_tpu.prepare.node_emb import saint_dispatch_epochs
+
+    def fold_points(epochs, num_steps, n_edges):
+        c = saint_dispatch_epochs(num_steps, n_edges)
+        return list(range(0, epochs, c))
+
+    # EM-USER regime (57k nodes / 9.17M directed edges, num_steps=8,
+    # 10 emb epochs): chunk 2 -> folds at 0,2,4,6,8
+    assert fold_points(10, 8, 9_166_800) == [0, 2, 4, 6, 8]
+    # mid regime just past the 2.5M threshold: chunk 5 -> folds 0,5
+    assert fold_points(10, 8, 4_580_000) == [0, 5]
+    # below threshold the historical single-dispatch draw is preserved
+    assert fold_points(10, 8, 2_400_000) == [0]
+
+
 def test_node_emb_neighbor_minibatch(density_dataset):
     """The reference's third minibatch mode (PyG NeighborSampler,
     train_node_emb.py:52-53): per-epoch shuffled seed batches, training on
