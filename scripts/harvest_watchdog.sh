@@ -22,8 +22,8 @@ while true; do
     mkdir -p "$d"
     cp -f "$r" "$d/experiment_results.json" 2>/dev/null
   done
-  for q in logs/queue_r4_14.log logs/queue_r4_15.log; do
-    [ -f "$q" ] && grep -a "^FINAL\|^RERANK winner\|^BEST:" "$q" \
+  for q in logs/queue*.log; do
+    [ -f "$q" ] && grep -a "^FINAL\|^RERANK\|^BEST:\|^TPE_DEDUP\|^SCAN_" "$q" \
       > "harvest/$(basename "$q" .log)_finals.txt" 2>/dev/null
   done
   sleep 300
