@@ -96,6 +96,10 @@ class HParams:
     dtype: str = "float32"             # compute dtype for dense ops
     mesh_data_axis: int = 1            # data-parallel size (subgraph axis)
     mesh_node_axis: int = 1            # node-axis sharding of sim tensors
+    # batch each layer's K active channel-update matmuls into ONE stacked
+    # contraction (models/subgnn.py) — an op-sequencing lever for the
+    # fixed ~900us/step (PERF.md round 5); numerically identical math
+    fused_channel_update: bool = False
 
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

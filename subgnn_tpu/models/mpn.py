@@ -43,6 +43,72 @@ def init_mpn_params(key, embed_dim: int):
     }
 
 
+def mpn_messages(params, anchor_embeds, sims, anchor_valid, *,
+                 norm_pos_struc_embed: bool = False,
+                 layout: str = "full"):
+    """Message aggregation + property head of one MPN layer, WITHOUT the
+    channel-update linear (split out so the model can batch the updates
+    of all active channels into one stacked contraction — see mpn_layer
+    for the layouts and math). Returns (agg (B,C,D), prop (B,C,A))."""
+    dt = anchor_embeds.dtype
+    w = jnp.where(anchor_valid, sims, 0.0).astype(dt)             # (B,C,A)
+    w_pos = params["linear_position"]["w"].astype(dt)             # (D, 1)
+    b_pos = params["linear_position"]["b"].astype(dt)
+
+    if layout == "shared":
+        agg = jnp.einsum("bca,ad->bcd", w, anchor_embeds)
+        proj = (anchor_embeds @ w_pos)[:, 0]                      # (A,)
+        prop_pre = w * proj[None, None, :] + b_pos
+    elif layout == "per_subgraph":
+        agg = jnp.einsum("bca,bad->bcd", w, anchor_embeds)
+        proj = (anchor_embeds @ w_pos)[..., 0]                    # (B, A)
+        prop_pre = w * proj[:, None, :] + b_pos
+    elif layout == "full":
+        # same factoring as the shared layouts: never materialize the
+        # (B, C, A, D) message tensor — agg contracts on the MXU and the
+        # property head uses (w*emb) @ W == w * (emb @ W)
+        agg = jnp.einsum("bca,bcad->bcd", w, anchor_embeds)
+        proj = (anchor_embeds @ w_pos)[..., 0]                    # (B,C,A)
+        prop_pre = w * proj + b_pos
+    else:
+        raise ValueError(layout)
+
+    if norm_pos_struc_embed:
+        norm = jnp.linalg.norm(prop_pre, axis=-1, keepdims=True)
+        prop = prop_pre / jnp.maximum(norm, 1e-12)
+    else:
+        prop = jax.nn.relu(prop_pre)
+    return agg, prop
+
+
+def mpn_update(params, cc_embeds, agg, *, use_mpn_projection: bool = True):
+    """Channel-update half of one MPN layer:
+    relu(Linear([cc ; agg])) (reference: subgraph_mpn.py:233-241)."""
+    if not use_mpn_projection:
+        return agg
+    dt = agg.dtype
+    x = jnp.concatenate([cc_embeds.astype(dt), agg], axis=-1)     # (B,C,2D)
+    return jax.nn.relu(x @ params["linear"]["w"].astype(dt)
+                       + params["linear"]["b"].astype(dt))
+
+
+def mpn_update_stacked(param_list, cc_list, agg_list):
+    """Batch K channel updates into ONE contraction: the K per-channel
+    (B*C, 2D) @ (2D, D) update matmuls of a layer become a single
+    (K, B, C, 2D) x (K, 2D, D) batched einsum — mathematically identical
+    per slice (same contraction order), but one kernel instead of K.
+    This targets the fixed op-sequencing cost of the step (PERF.md
+    round-5 stacked-update A/B), not FLOPs."""
+    dt = agg_list[0].dtype
+    x = jnp.stack([jnp.concatenate([cc.astype(dt), agg], axis=-1)
+                   for cc, agg in zip(cc_list, agg_list)])      # (K,B,C,2D)
+    w = jnp.stack([p["linear"]["w"].astype(dt) for p in param_list])
+    b = jnp.stack([p["linear"]["b"].astype(dt) for p in param_list])
+    out = jax.nn.relu(jnp.einsum("kbci,kio->kbco", x, w)
+                      + b[:, None, None, :])
+    return [out[k] for k in range(len(param_list))]
+
+
 def mpn_layer(params, cc_embeds, anchor_embeds, sims, anchor_valid, *,
               use_mpn_projection: bool = True,
               norm_pos_struc_embed: bool = False,
@@ -72,40 +138,9 @@ def mpn_layer(params, cc_embeds, anchor_embeds, sims, anchor_valid, *,
 
     Returns (updated_cc (B,C,D), prop (B,C,A)).
     """
-    dt = anchor_embeds.dtype
-    w = jnp.where(anchor_valid, sims, 0.0).astype(dt)             # (B,C,A)
-    w_pos = params["linear_position"]["w"].astype(dt)             # (D, 1)
-    b_pos = params["linear_position"]["b"].astype(dt)
-
-    if layout == "shared":
-        agg = jnp.einsum("bca,ad->bcd", w, anchor_embeds)
-        proj = (anchor_embeds @ w_pos)[:, 0]                      # (A,)
-        prop_pre = w * proj[None, None, :] + b_pos
-    elif layout == "per_subgraph":
-        agg = jnp.einsum("bca,bad->bcd", w, anchor_embeds)
-        proj = (anchor_embeds @ w_pos)[..., 0]                    # (B, A)
-        prop_pre = w * proj[:, None, :] + b_pos
-    elif layout == "full":
-        # same factoring as the shared layouts: never materialize the
-        # (B, C, A, D) message tensor — agg contracts on the MXU and the
-        # property head uses (w*emb) @ W == w * (emb @ W)
-        agg = jnp.einsum("bca,bcad->bcd", w, anchor_embeds)
-        proj = (anchor_embeds @ w_pos)[..., 0]                    # (B,C,A)
-        prop_pre = w * proj + b_pos
-    else:
-        raise ValueError(layout)
-
-    if use_mpn_projection:
-        x = jnp.concatenate([cc_embeds.astype(dt), agg], axis=-1)  # (B,C,2D)
-        updated = jax.nn.relu(
-            x @ params["linear"]["w"].astype(dt)
-            + params["linear"]["b"].astype(dt))
-    else:
-        updated = agg
-
-    if norm_pos_struc_embed:
-        norm = jnp.linalg.norm(prop_pre, axis=-1, keepdims=True)
-        prop = prop_pre / jnp.maximum(norm, 1e-12)
-    else:
-        prop = jax.nn.relu(prop_pre)
+    agg, prop = mpn_messages(params, anchor_embeds, sims, anchor_valid,
+                             norm_pos_struc_embed=norm_pos_struc_embed,
+                             layout=layout)
+    updated = mpn_update(params, cc_embeds, agg,
+                         use_mpn_projection=use_mpn_projection)
     return updated, prop

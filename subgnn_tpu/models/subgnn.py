@@ -26,7 +26,8 @@ import numpy as np
 from ..config import HParams
 from ..ops.embedding import embedding_gather
 from .lstm import init_lstm_params, lstm_forward
-from .mpn import init_mpn_params, mpn_layer
+from .mpn import (init_mpn_params, mpn_messages, mpn_update,
+                  mpn_update_stacked)
 from . import attention as attn
 
 PAD_VALUE = 0
@@ -296,31 +297,45 @@ class SubGNNModel:
         pos_out_sims = batch.get("pos_out_sims")  # (L, B, C, A_P_out)
 
         outputs = []
+        # fused_channel_update: defer every channel's update linear and run
+        # them as ONE stacked contraction per layer (mpn_update_stacked) —
+        # identical math, K-fold fewer kernels on the fixed op-sequencing
+        # path (PERF.md round-5 A/B). Requires the projection update; the
+        # agg-passthrough mode has no matmul to batch.
+        fuse = hp.fused_channel_update and hp.use_mpn_projection
         for l in range(hp.n_layers):
+            pend_p, pend_cc, pend_agg = [], [], []
+
+            def channel_update(p, cc, agg):
+                # fused mode: queue and return a placeholder slot index
+                if fuse:
+                    pend_p.append(p)
+                    pend_cc.append(cc)
+                    pend_agg.append(agg)
+                    return len(pend_p) - 1
+                return mpn_update(p, cc, agg,
+                                  use_mpn_projection=hp.use_mpn_projection)
+
             if hp.use_neighborhood:
+                # N-channel readout slots precede P/S within the layer; in
+                # fused mode their values resolve after the stacked update,
+                # so remember where they go
+                n_outputs_pos = len(outputs)
                 layer_p = params["channels"]["neighborhood"][l]
                 a_in = n_ids_all[l, :, :, :A_n_in]               # (B, C, A)
                 a_out = n_ids_all[l, :, :, A_n_in:]
                 n_sims = (neigh_sims[l] if neigh_sims is not None
                           else np_sims_gather(n_ids_all[l]))
-                N_in, _ = mpn_layer(
-                    layer_p["internal"], N_in, n_emb_all[l, :, :, :A_n_in],
+                agg, _ = mpn_messages(
+                    layer_p["internal"], n_emb_all[l, :, :, :A_n_in],
                     n_sims[:, :, :A_n_in], a_in != PAD_VALUE,
-                    use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed)
-                N_out, _ = mpn_layer(
-                    layer_p["border"], N_out, n_emb_all[l, :, :, A_n_in:],
+                N_in = channel_update(layer_p["internal"], N_in, agg)
+                agg, _ = mpn_messages(
+                    layer_p["border"], n_emb_all[l, :, :, A_n_in:],
                     n_sims[:, :, A_n_in:], a_out != PAD_VALUE,
-                    use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed)
-                if hp.batch_norm:
-                    N_in, bn_state[f"neighborhood_{l}_in"] = self._batch_norm(
-                        layer_p["bn_in"], bn_state[f"neighborhood_{l}_in"],
-                        N_in, train=train)
-                    N_out, bn_state[f"neighborhood_{l}_out"] = self._batch_norm(
-                        layer_p["bn_out"], bn_state[f"neighborhood_{l}_out"],
-                        N_out, train=train)
-                outputs.extend([N_in, N_out])
+                N_out = channel_update(layer_p["border"], N_out, agg)
 
             if hp.use_position:
                 layer_p = params["channels"]["position"][l]
@@ -335,24 +350,24 @@ class SubGNNModel:
                     ids_in[:, None, :], (B, C, hp.n_anchor_patches_pos_in))
                 valid_in = jnp.broadcast_to(
                     cc_mask[:, :, None], (B, C, hp.n_anchor_patches_pos_in))
-                P_in, P_in_prop = mpn_layer(
-                    layer_p["internal"], P_in, table[ids_in],
+                agg, P_in_prop = mpn_messages(
+                    layer_p["internal"], table[ids_in],
                     (pos_in_sims[l] if pos_in_sims is not None
                      else np_sims_gather(a_in_bc)), valid_in,
-                    use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed,
                     layout="per_subgraph")
+                P_in = channel_update(layer_p["internal"], P_in, agg)
                 ids_out = anchors["pos_ext"][l]                    # (A_out,)
                 sims_out = (pos_out_sims[l] if pos_out_sims is not None
                             else batch["NP_sim"][:, :, ids_out - 1])  # (B,C,A)
                 valid_out = jnp.broadcast_to(
                     cc_mask[:, :, None], (B, C, hp.n_anchor_patches_pos_out))
-                P_out, P_out_prop = mpn_layer(
-                    layer_p["border"], P_out, table[ids_out],
+                agg, P_out_prop = mpn_messages(
+                    layer_p["border"], table[ids_out],
                     sims_out, valid_out,
-                    use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed,
                     layout="shared")
+                P_out = channel_update(layer_p["border"], P_out, agg)
                 outputs.extend([P_in_prop, P_out_prop])
 
             if hp.use_structure:
@@ -367,19 +382,40 @@ class SubGNNModel:
                     # (reference: subgraph_mpn.py:88,95-99)
                     return sim_matrix[:, :, pool_idx]
 
-                S_in, S_in_prop = mpn_layer(
-                    layer_p["internal"], S_in, emb_int,
+                agg, S_in_prop = mpn_messages(
+                    layer_p["internal"], emb_int,
                     s_sims(batch["I_S_sim"]), valid,
-                    use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed,
                     layout="shared")
-                S_out, S_out_prop = mpn_layer(
-                    layer_p["border"], S_out, emb_bor,
+                S_in = channel_update(layer_p["internal"], S_in, agg)
+                agg, S_out_prop = mpn_messages(
+                    layer_p["border"], emb_bor,
                     s_sims(batch["B_S_sim"]), valid,
-                    use_mpn_projection=hp.use_mpn_projection,
                     norm_pos_struc_embed=hp.norm_pos_struc_embed,
                     layout="shared")
+                S_out = channel_update(layer_p["border"], S_out, agg)
                 outputs.extend([S_in_prop, S_out_prop])
+
+            if fuse:
+                # resolve the queued slots with one stacked contraction
+                upd = mpn_update_stacked(pend_p, pend_cc, pend_agg)
+                if hp.use_neighborhood:
+                    N_in, N_out = upd[N_in], upd[N_out]
+                if hp.use_position:
+                    P_in, P_out = upd[P_in], upd[P_out]
+                if hp.use_structure:
+                    S_in, S_out = upd[S_in], upd[S_out]
+
+            if hp.use_neighborhood:
+                layer_p = params["channels"]["neighborhood"][l]
+                if hp.batch_norm:
+                    N_in, bn_state[f"neighborhood_{l}_in"] = self._batch_norm(
+                        layer_p["bn_in"], bn_state[f"neighborhood_{l}_in"],
+                        N_in, train=train)
+                    N_out, bn_state[f"neighborhood_{l}_out"] = self._batch_norm(
+                        layer_p["bn_out"], bn_state[f"neighborhood_{l}_out"],
+                        N_out, train=train)
+                outputs[n_outputs_pos:n_outputs_pos] = [N_in, N_out]
 
         all_cc = jnp.concatenate([init_cc] + outputs, axis=-1)   # (B, C, hid)
 

@@ -7,6 +7,7 @@ SubGNN.prepare_data at SubGNN/SubGNN.py:1024-1063 and prepare_test_data at
 from __future__ import annotations
 
 import json
+from collections import OrderedDict as _OrderedDict
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -76,6 +77,10 @@ def load_embeddings(path: Path) -> np.ndarray:
 
 
 class SubGNNPipeline:
+    # serving: max shortest-path rows LRU-cached across predict() calls
+    # (~229 KB/row at 57k nodes -> ~470 MB cap; see predict._bfs_np_sim)
+    BFS_ROW_CACHE_SIZE = 2048
+
     def __init__(self, run_config: RunConfig, hp: HParams,
                  results_dir: Optional[str | Path] = None,
                  checkpoint_k: int = 3,
@@ -617,11 +622,32 @@ class SubGNNPipeline:
 
         def _bfs_np_sim():
             # the C++ BFS releases the GIL (ctypes foreign call), so this
-            # runs truly in parallel with the host-side DTW prep below
+            # runs truly in parallel with the host-side DTW prep below.
+            # Rows are LRU-cached by source node across requests: steady
+            # serving repeats/overlaps subgraphs, and a warm node's row
+            # costs 0 instead of the measured ~4.3 ms/source C++ BFS
+            # (PERF.md round-5 serving section; the device-BFS alternative
+            # is rejected there with stream arithmetic)
             srcs = np.unique(cc_ids.ravel())
             srcs = srcs[srcs != PAD_VALUE].astype(np.int64)
-            rows = shortest_path_rows(self.graph, srcs,
-                                      n_threads=hp.n_processes)
+            cache = getattr(self, "_bfs_row_cache", None)
+            if cache is None:
+                cache = self._bfs_row_cache = _OrderedDict()
+            missing = np.array([s for s in srcs if int(s) not in cache],
+                               dtype=np.int64)
+            if missing.size:
+                new_rows = shortest_path_rows(self.graph, missing,
+                                              n_threads=hp.n_processes)
+                for s, row in zip(missing, new_rows):
+                    cache[int(s)] = row
+            timings["bfs_srcs"] = int(srcs.size)
+            timings["bfs_cache_miss"] = int(missing.size)
+            rows = np.stack([cache[int(s)] for s in srcs])
+            for s in srcs:  # mark this request's rows most-recently-used
+                cache.move_to_end(int(s))
+            # ~229 KB/row at 57k nodes; 2048 rows caps the cache at ~470 MB
+            while len(cache) > self.BFS_ROW_CACHE_SIZE:
+                cache.popitem(last=False)
             lut = np.zeros(self.graph.n_nodes + 1, np.int32)
             lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
             return compute_shortest_path_similarities(rows, lut[cc_ids])

@@ -394,3 +394,43 @@ def test_batch_norm_train_updates_running_stats(rng):
                                 train=False, rng=None)
     assert np.abs(np.asarray(ev_before) - np.asarray(ev_after)).max() > 0
     assert np.isfinite(np.asarray(logits_tr)).all()
+
+
+def test_fused_channel_update_equivalent(rng):
+    """hp.fused_channel_update batches the K per-layer channel-update
+    matmuls into one stacked contraction (mpn_update_stacked) — it must
+    reproduce the per-channel path: same logits (allclose at fp32) and
+    same grads, with batch_norm on (N-channel post-update path) and
+    dropout replayed under an identical rng."""
+    hp = HP.replace(batch_norm=True, lin_dropout=0.2)
+    model, params, state, batch, anchors, _ = build_toy(hp, rng)
+    model_f = SubGNNModel(hp.replace(fused_channel_update=True),
+                          n_nodes=30, num_classes=3, multilabel=False)
+    labels = jnp.asarray(rng.integers(0, 3, batch["cc_ids"].shape[0]))
+
+    def loss(m, p):
+        logits, _ = m.forward(p, state, batch, anchors, train=True,
+                              rng=jax.random.PRNGKey(7))
+        return m.loss_fn(logits, labels), logits
+
+    (l0, logits0), g0 = jax.value_and_grad(lambda p: loss(model, p),
+                                           has_aux=True)(params)
+    (l1, logits1), g1 = jax.value_and_grad(lambda p: loss(model_f, p),
+                                           has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(logits0), np.asarray(logits1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert str(k0) == str(k1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(k0))
+
+    # eval path too (BN running stats, no dropout)
+    e0, _ = model.forward(params, state, batch, anchors, train=False,
+                          rng=None)
+    e1, _ = model_f.forward(params, state, batch, anchors, train=False,
+                            rng=None)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1),
+                               rtol=1e-6, atol=1e-6)
