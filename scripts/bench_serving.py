@@ -31,7 +31,15 @@ def main():
     ap.add_argument("-results", default="data/results/scale57k_v2")
     ap.add_argument("-n", type=int, default=32)
     ap.add_argument("-nodes_per_subgraph", type=int, default=15)
+    ap.add_argument("-platform", default="tpu", choices=["cpu", "tpu"],
+                    help="cpu: force the CPU backend — the serving stage "
+                         "profile is host-dominated (border/bfs/sims), so "
+                         "CPU runs measure those without occupying the "
+                         "chip; only the 'forward' stage differs")
     args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from subgnn_tpu.config import RunConfig
     from subgnn_tpu.train.runner import SubGNNPipeline

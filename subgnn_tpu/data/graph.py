@@ -150,17 +150,37 @@ class CSRGraph:
         Equivalent to the union of nx.ego_graph(..., radius=k) node sets
         (reference: SubGNN/subgraph_utils.py:146-171).
         """
-        frontier = {int(s) for s in seeds}
-        seen = set(frontier)
+        # vectorized frontier expansion on the CSR arrays (khop_mask):
+        # python-set unions cost ~170 s per 32-subgraph serving batch on
+        # hub-heavy EM-USER-scale graphs (diameter 2, radius-2 balls ~=
+        # the whole graph — PERF.md round-5 serving section); boolean
+        # membership + concatenated index slices is ~100x faster, exact
+        return set(np.flatnonzero(self.khop_mask(seeds, k)).tolist())
+
+    def khop_mask(self, seeds, k: int) -> np.ndarray:
+        """(n_nodes+1,) bool membership mask of khop_neighborhood — the
+        allocation-free variant for border-set computation at serving
+        scale (the set round-trip costs more than the BFS itself on
+        57k-node graphs)."""
+        frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        seen = np.zeros(self.n_nodes + 1, dtype=bool)
+        seen[frontier] = True
         for _ in range(k):
-            if not frontier:
+            if frontier.size == 0:
                 break
-            arr = np.fromiter(frontier, dtype=np.int64)
-            nxt: Set[int] = set()
-            for v in arr:
-                nxt.update(int(u) for u in self.neighbors(v))
-            frontier = nxt - seen
-            seen |= frontier
+            counts = (self.indptr[frontier + 1]
+                      - self.indptr[frontier]).astype(np.int64)
+            if counts.sum() == 0:
+                break
+            offs = np.repeat(self.indptr[frontier].astype(np.int64), counts)
+            within = np.arange(counts.sum(), dtype=np.int64) \
+                - np.repeat(np.cumsum(counts) - counts, counts)
+            nbrs = self.indices[offs + within]
+            new_mask = np.zeros_like(seen)
+            new_mask[nbrs] = True
+            new_mask &= ~seen
+            seen |= new_mask
+            frontier = np.flatnonzero(new_mask).astype(np.int64)
         return seen
 
     def border_nodes(self, nodes: Sequence[int]):

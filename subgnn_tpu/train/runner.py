@@ -21,7 +21,7 @@ from ..data.subgraphs import read_subgraphs, reindex_subgraphs, MultiLabelBinari
 from ..data.dataset import SubgraphData, initialize_cc_ids
 from ..precompute.shortest_paths import (shortest_path_matrix,
                                          shortest_path_rows)
-from ..precompute.border import compute_border_sets
+from ..precompute.border import border_sets_from_rows, compute_border_sets
 from ..precompute.similarities import (
     cached, compute_shortest_path_similarities, compute_structure_similarities,
     structure_similarities_both, np_sim_path, border_set_path,
@@ -613,14 +613,7 @@ class SubGNNPipeline:
         timings["cc_split"] = _time.time() - t0
         n = len(node_lists)
 
-        border = None
-        if hp.use_neighborhood:
-            t0 = _time.time()
-            border = compute_border_sets(self.graph, cc_ids,
-                                         hp.neigh_sample_border_size)
-            timings["border_sets"] = _time.time() - t0
-
-        def _bfs_np_sim():
+        def _bfs_rows():
             # the C++ BFS releases the GIL (ctypes foreign call), so this
             # runs truly in parallel with the host-side DTW prep below.
             # Rows are LRU-cached by source node across requests: steady
@@ -648,17 +641,17 @@ class SubGNNPipeline:
             # ~229 KB/row at 57k nodes; 2048 rows caps the cache at ~470 MB
             while len(cache) > self.BFS_ROW_CACHE_SIZE:
                 cache.popitem(last=False)
-            lut = np.zeros(self.graph.n_nodes + 1, np.int32)
-            lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
-            return compute_shortest_path_similarities(rows, lut[cc_ids])
+            return srcs, rows
+
 
         np_sim = None
         pool = ThreadPoolExecutor(max_workers=1)
+        border = None
         bfs_future = None
         try:
             if hp.use_neighborhood or hp.use_position:
                 t_bfs = _time.time()
-                bfs_future = pool.submit(_bfs_np_sim)
+                bfs_future = pool.submit(_bfs_rows)
 
             int_s = bor_s = None
             if hp.use_structure:
@@ -670,6 +663,22 @@ class SubGNNPipeline:
                     self.graph, cc_ids, self.structure_anchors,
                     anchor_cache=self._serving_anchor_seqs)
                 timings["structure_sims"] = _time.time() - t0
+
+            if bfs_future is not None:
+                srcs, rows = bfs_future.result()
+                timings["bfs_rows_wall"] = _time.time() - t_bfs
+                t0 = _time.time()
+                lut = np.zeros(self.graph.n_nodes + 1, np.int32)
+                lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
+                np_sim = compute_shortest_path_similarities(
+                    rows, lut[cc_ids])
+                timings["np_sim"] = _time.time() - t0
+                if hp.use_neighborhood:
+                    t0 = _time.time()
+                    border = border_sets_from_rows(
+                        srcs, rows, cc_ids, hp.neigh_sample_border_size,
+                        self.graph.n_nodes)
+                    timings["border_sets"] = _time.time() - t0
 
             if anchors is None:
                 t0 = _time.time()
@@ -707,10 +716,6 @@ class SubGNNPipeline:
                     (anchors["struc_pool_idx"], anchors["struc_int_walks"],
                      anchors["struc_bor_walks"]) = cache[1]["struc"]
                 timings["anchors"] = _time.time() - t0
-
-            if bfs_future is not None:
-                np_sim = bfs_future.result()
-                timings["bfs_np_sim_wall"] = _time.time() - t_bfs
         finally:
             pool.shutdown(wait=True)
 

@@ -300,3 +300,36 @@ def test_dtw_similarity_matrix_multi_chunk(rng):
             expect = 1.0 / (dtw_host(comp[i, :comp_lens[i]],
                                      anch[j, :anch_lens[j]]) + 1.0)
             assert abs(sims[i, j] - expect) < 1e-5
+
+
+def test_border_sets_from_rows_matches_khop():
+    """Serving derives border sets from BFS distance rows
+    (border_sets_from_rows); it must equal compute_border_sets' CSR
+    k-hop walk exactly — including multi-node CCs, radius 1 and 2,
+    padded CCs, and nodes unreached across components."""
+    import numpy as np
+    from subgnn_tpu.data.graph import CSRGraph
+    from subgnn_tpu.precompute.border import (border_sets_from_rows,
+                                              compute_border_sets)
+    from subgnn_tpu.precompute.shortest_paths import shortest_path_rows
+
+    rng = np.random.default_rng(3)
+    n = 40
+    edges = rng.integers(1, n + 1, (120, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    g = CSRGraph.from_edges(edges, n_nodes=n)
+
+    cc_ids = np.zeros((5, 3, 4), np.int32)
+    for s in range(5):
+        for c in range(int(rng.integers(1, 4))):
+            ln = int(rng.integers(1, 5))
+            cc_ids[s, c, :ln] = rng.choice(n, size=ln, replace=False) + 1
+
+    srcs = np.unique(cc_ids.ravel())
+    srcs = srcs[srcs != 0].astype(np.int64)
+    rows = shortest_path_rows(g, srcs)
+    for radius in (1, 2):
+        a = compute_border_sets(g, cc_ids, radius)
+        b = border_sets_from_rows(srcs, rows, cc_ids, radius, n)
+        assert a.shape == b.shape, (radius, a.shape, b.shape)
+        np.testing.assert_array_equal(a, b, err_msg=f"radius={radius}")
