@@ -399,7 +399,9 @@ def main():
 
     hyp = dict(base)
     hyp.update(best["params"])
-    won = hyp.pop("channel_subset", None) if auto_channels \
+    # same legacy-trial default as params_to_config: a resumed auto-mode
+    # study may lack channel_subset on its best trial — never None
+    won = hyp.pop("channel_subset", "S") if auto_channels \
         else args.channels.upper()
     hyp.update({"use_neighborhood": "N" in won, "use_structure": "S" in won,
                 "use_position": "P" in won})

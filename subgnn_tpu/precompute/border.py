@@ -20,6 +20,18 @@ from ..data.graph import CSRGraph
 PAD_VALUE = 0
 
 
+def _pad_border_sets(all_sets, n_sub, max_n_cc):
+    """Pad per-CC border id lists to (n_sub, max_n_cc, max_len) int32,
+    PAD=0, max_len >= 1 — the one place the layout convention lives."""
+    max_len = max((len(b) for row in all_sets for b in row), default=1)
+    max_len = max(max_len, 1)
+    out = np.full((n_sub, max_n_cc, max_len), PAD_VALUE, dtype=np.int32)
+    for s, row in enumerate(all_sets):
+        for c, b in enumerate(row):
+            out[s, c, :len(b)] = b
+    return out
+
+
 def border_sets_from_rows(srcs: np.ndarray, rows: np.ndarray,
                           cc_ids: np.ndarray, radius: int,
                           n_nodes: int) -> np.ndarray:
@@ -54,13 +66,7 @@ def border_sets_from_rows(srcs: np.ndarray, rows: np.ndarray,
             mask[comp] = False
             row_sets.append(np.flatnonzero(mask).astype(np.int32))
         all_sets.append(row_sets)
-    max_len = max((len(b) for r in all_sets for b in r), default=1)
-    max_len = max(max_len, 1)
-    out = np.full((n_sub, max_n_cc, max_len), PAD_VALUE, dtype=np.int32)
-    for s, r in enumerate(all_sets):
-        for c, b in enumerate(r):
-            out[s, c, :len(b)] = b
-    return out
+    return _pad_border_sets(all_sets, n_sub, max_n_cc)
 
 
 def compute_border_sets(graph: CSRGraph, cc_ids: np.ndarray, radius: int,
@@ -92,10 +98,4 @@ def compute_border_sets(graph: CSRGraph, cc_ids: np.ndarray, radius: int,
                 mask[comp] = False
                 row.append(np.flatnonzero(mask).astype(np.int32))
         all_sets.append(row)
-    max_len = max((len(b) for row in all_sets for b in row), default=1)
-    max_len = max(max_len, 1)
-    out = np.full((n_sub, max_n_cc, max_len), PAD_VALUE, dtype=np.int32)
-    for s, row in enumerate(all_sets):
-        for c, b in enumerate(row):
-            out[s, c, :len(b)] = b
-    return out
+    return _pad_border_sets(all_sets, n_sub, max_n_cc)

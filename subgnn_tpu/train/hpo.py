@@ -291,6 +291,17 @@ class TPESampler:
         return math.exp(x) if log else x
 
 
+def _pid_alive(pid: int) -> bool:
+    """True if a process with this pid exists (signal-0 probe)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 class Study:
     """Random/grid search with a resumable JSON state file."""
 
@@ -308,9 +319,14 @@ class Study:
         self.tpe = (TPESampler(direction=direction)
                     if sampler not in ("grid", "random") else None)
         self.trials: List[Dict[str, Any]] = []
-        # clear stale temp files left by a kill between write and rename
-        # (the temp name is PID-suffixed, so live writers are untouched)
+        # clear stale temp files left by a kill between write and rename —
+        # but ONLY those whose embedded PID is no longer alive: another
+        # process racing on this study dir (the round-3 hazard) may be
+        # between write_text and replace on its own temp right now
         for stale in self.path.parent.glob(self.path.name + ".*.tmp"):
+            pid_part = stale.name[len(self.path.name) + 1:-len(".tmp")]
+            if pid_part.isdigit() and _pid_alive(int(pid_part)):
+                continue
             with contextlib.suppress(OSError):
                 stale.unlink()
         if self.path.exists():

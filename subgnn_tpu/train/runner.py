@@ -632,7 +632,10 @@ class SubGNNPipeline:
                 new_rows = shortest_path_rows(self.graph, missing,
                                               n_threads=hp.n_processes)
                 for s, row in zip(missing, new_rows):
-                    cache[int(s)] = row
+                    # copy: caching a VIEW would pin the whole
+                    # (missing, n_nodes) batch array for as long as any
+                    # one of its rows stays hot, breaking the cache cap
+                    cache[int(s)] = row.copy()
             timings["bfs_srcs"] = int(srcs.size)
             timings["bfs_cache_miss"] = int(missing.size)
             rows = np.stack([cache[int(s)] for s in srcs])
@@ -641,7 +644,21 @@ class SubGNNPipeline:
             # ~229 KB/row at 57k nodes; 2048 rows caps the cache at ~470 MB
             while len(cache) > self.BFS_ROW_CACHE_SIZE:
                 cache.popitem(last=False)
-            return srcs, rows
+            # np_sim + border derive from the rows HERE, still on the
+            # worker thread, so they overlap the DTW prep below too
+            t0 = _time.time()
+            lut = np.zeros(self.graph.n_nodes + 1, np.int32)
+            lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
+            np_sim_ = compute_shortest_path_similarities(rows, lut[cc_ids])
+            timings["np_sim"] = _time.time() - t0
+            border_ = None
+            if hp.use_neighborhood:
+                t0 = _time.time()
+                border_ = border_sets_from_rows(
+                    srcs, rows, cc_ids, hp.neigh_sample_border_size,
+                    self.graph.n_nodes)
+                timings["border_sets"] = _time.time() - t0
+            return np_sim_, border_
 
 
         np_sim = None
@@ -665,20 +682,8 @@ class SubGNNPipeline:
                 timings["structure_sims"] = _time.time() - t0
 
             if bfs_future is not None:
-                srcs, rows = bfs_future.result()
+                np_sim, border = bfs_future.result()
                 timings["bfs_rows_wall"] = _time.time() - t_bfs
-                t0 = _time.time()
-                lut = np.zeros(self.graph.n_nodes + 1, np.int32)
-                lut[srcs] = np.arange(1, len(srcs) + 1, dtype=np.int32)
-                np_sim = compute_shortest_path_similarities(
-                    rows, lut[cc_ids])
-                timings["np_sim"] = _time.time() - t0
-                if hp.use_neighborhood:
-                    t0 = _time.time()
-                    border = border_sets_from_rows(
-                        srcs, rows, cc_ids, hp.neigh_sample_border_size,
-                        self.graph.n_nodes)
-                    timings["border_sets"] = _time.time() - t0
 
             if anchors is None:
                 t0 = _time.time()

@@ -27,13 +27,15 @@ def test_batch_pspecs():
 
 
 def test_dryrun_multichip_8_devices():
+    # full=False: the at-scale tail has its own dedicated test below
+    # (test_dryrun_multichip_full_at_scale) — no need to run it 3x
     import __graft_entry__ as ge
-    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(8, full=False)
 
 
 def test_dryrun_multichip_2_devices():
     import __graft_entry__ as ge
-    ge.dryrun_multichip(2)
+    ge.dryrun_multichip(2, full=False)
 
 
 def test_entry_compiles():
