@@ -25,7 +25,9 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-BATCHES = [64, 128, 256, 512, 1024, 2048]
+# 1280/1536 probe the gap between the 1024 knee and the 2048
+# VMEM-spill cliff (round 5)
+BATCHES = [64, 128, 256, 512, 1024, 1280, 1536, 2048]
 ITERS = 50
 
 

@@ -48,6 +48,30 @@ def test_study_resume_and_best(tmp_path):
     assert s2.best_trial["value"] == max(t["value"] for t in s2.trials)
 
 
+def test_trial_attrs_persist_and_stale_tmp_sweep(tmp_path):
+    """Trial.attrs (optuna user_attrs analog) persist in the study file
+    across resume — seed_avg_search uses this to mark raced trials; and
+    Study.__init__ sweeps only DEAD writers' temp files."""
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        trial.attrs["n_seeds_scored"] = 1 if x < 0.5 else 3
+        return x
+
+    s = Study(tmp_path / "study.json", direction="maximize", seed=7)
+    s.optimize(objective, 3)
+    # a stale temp from a dead pid + a "live" temp from our own pid
+    (tmp_path / "study.json.999999.tmp").write_text("stale")
+    import os
+    live = tmp_path / f"study.json.{os.getpid()}.tmp"
+    live.write_text("live")
+    s2 = Study(tmp_path / "study.json", direction="maximize", seed=7)
+    assert not (tmp_path / "study.json.999999.tmp").exists()
+    assert live.exists(), "a live writer's temp must not be unlinked"
+    live.unlink()
+    for t in s2.trials:
+        assert t["attrs"]["n_seeds_scored"] in (1, 3), t
+
+
 def test_grid_sampler(tmp_path):
     space = {"a": [1, 2], "b": [10, 20]}
 
