@@ -57,16 +57,16 @@ def main():
     _threading.Thread(target=_watchdog, daemon=True).start()
 
     # production-ish shapes: D=128, 2 layers, all three channels, flagship
-    # B pinned at the measured knee (scripts/bench_knee.py round 4:
-    # 62.8M@64 / 113M@128 / 174M@256 / 239M@512 / 277M@1024 / collapse
-    # 150M@2048 — fixed ~900us/step op-sequencing amortizes with B until
-    # the B=2048 spill regime; PERF.md knee section)
+    # B pinned at the measured knee (scripts/bench_knee.py round 5:
+    # 64.5M@64 / 114M@128 / 169M@256 / 244M@512 / 273M@1024 / 294M@1280 /
+    # 290M@1536 / collapse 150M@2048 — fixed ~900us/step op-sequencing
+    # amortizes with B until the B=2048 spill regime; PERF.md knee section)
     import os
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     # per-dtype knee: fp32 doubles bytes/step and hits the spill regime at
     # half the batch (measured: fp32 207M@512 > 164M@1024, while bf16
-    # 277M@1024 > 239M@512 — bench_knee.py + queue6 A/B)
-    B = 1024 if dtype == "bfloat16" else 512
+    # 294M@1280 > 273M@1024 > 244M@512 — bench_knee.py + queue6 A/B)
+    B = 1280 if dtype == "bfloat16" else 512
     C, n_nodes = 3, 8192
     hp_overrides = dict(node_embed_size=128, n_layers=2,
                         n_anchor_patches_N_in=15, n_anchor_patches_N_out=30,
