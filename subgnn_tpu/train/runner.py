@@ -7,6 +7,7 @@ SubGNN.prepare_data at SubGNN/SubGNN.py:1024-1063 and prepare_test_data at
 from __future__ import annotations
 
 import json
+import threading as _threading
 from collections import OrderedDict as _OrderedDict
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -623,27 +624,36 @@ class SubGNNPipeline:
             # is rejected there with stream arithmetic)
             srcs = np.unique(cc_ids.ravel())
             srcs = srcs[srcs != PAD_VALUE].astype(np.int64)
-            cache = getattr(self, "_bfs_row_cache", None)
-            if cache is None:
-                cache = self._bfs_row_cache = _OrderedDict()
-            missing = np.array([s for s in srcs if int(s) not in cache],
-                               dtype=np.int64)
-            if missing.size:
-                new_rows = shortest_path_rows(self.graph, missing,
-                                              n_threads=hp.n_processes)
-                for s, row in zip(missing, new_rows):
-                    # copy: caching a VIEW would pin the whole
-                    # (missing, n_nodes) batch array for as long as any
-                    # one of its rows stays hot, breaking the cache cap
-                    cache[int(s)] = row.copy()
-            timings["bfs_srcs"] = int(srcs.size)
-            timings["bfs_cache_miss"] = int(missing.size)
-            rows = np.stack([cache[int(s)] for s in srcs])
-            for s in srcs:  # mark this request's rows most-recently-used
-                cache.move_to_end(int(s))
-            # ~229 KB/row at 57k nodes; 2048 rows caps the cache at ~470 MB
-            while len(cache) > self.BFS_ROW_CACHE_SIZE:
-                cache.popitem(last=False)
+            # one lock around lookup+BFS+insert: concurrent predict()
+            # callers share the cache AND the C++ BFS thread pool, so
+            # serializing here is both the simple-correct choice (no
+            # eviction race between a lookup and its use) and roughly
+            # what the host could do anyway
+            lock = getattr(self, "_bfs_cache_lock", None)
+            if lock is None:
+                lock = self._bfs_cache_lock = _threading.Lock()
+            with lock:
+                cache = getattr(self, "_bfs_row_cache", None)
+                if cache is None:
+                    cache = self._bfs_row_cache = _OrderedDict()
+                missing = np.array([s for s in srcs if int(s) not in cache],
+                                   dtype=np.int64)
+                if missing.size:
+                    new_rows = shortest_path_rows(self.graph, missing,
+                                                  n_threads=hp.n_processes)
+                    for s, row in zip(missing, new_rows):
+                        # copy: caching a VIEW would pin the whole
+                        # (missing, n_nodes) batch array for as long as
+                        # any one row stays hot, breaking the cache cap
+                        cache[int(s)] = row.copy()
+                timings["bfs_srcs"] = int(srcs.size)
+                timings["bfs_cache_miss"] = int(missing.size)
+                rows = np.stack([cache[int(s)] for s in srcs])
+                for s in srcs:  # mark this request's rows MRU
+                    cache.move_to_end(int(s))
+                # ~229 KB/row at 57k nodes; 2048 rows cap ~= 470 MB
+                while len(cache) > self.BFS_ROW_CACHE_SIZE:
+                    cache.popitem(last=False)
             # np_sim + border derive from the rows HERE, still on the
             # worker thread, so they overlap the DTW prep below too
             t0 = _time.time()
