@@ -13,10 +13,14 @@ mkdir -p logs
 python -u scripts/make_real_standins.py -tasks hpo_neuro --emb -emb_epochs 10
 
 t0=$(date +%s)
+# 200 search epochs: at 100 the multilabel micro-F1 is still 0.0 for
+# every config (thresholded sigmoid all-below-0.5 — measured, first
+# launch of this queue), giving the sampler no signal; the frozen
+# rehearsal needed 200 epochs to reach its 0.214
 python -u scripts/seed_avg_search.py -task hpo_neuro -property density \
-  -channels S -objective holdout -trials 8 -hpo_seeds 2 -race_margin 0.10 \
-  -finalists 2 -finalist_seeds 4 -tag rehearsal8 -platform tpu \
-  -search_epochs 100 -retest_epochs 200 -retest_seeds 10
+  -channels S -objective holdout -trials 6 -hpo_seeds 2 -race_margin 0.10 \
+  -finalists 2 -finalist_seeds 4 -tag rehearsal6e200 -platform tpu \
+  -search_epochs 200 -retest_epochs 200 -retest_seeds 10
 t1=$(date +%s)
-echo "FINAL {\"rehearsal\": \"hpo_neuro_multilabel_search8_tpu\", \"wall_s\": $((t1-t0))}"
+echo "FINAL {\"rehearsal\": \"hpo_neuro_multilabel_search6_tpu\", \"wall_s\": $((t1-t0))}"
 echo "=== ROUND5 QUEUE4 DONE ($(date)) ==="
