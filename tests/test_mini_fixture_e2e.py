@@ -280,3 +280,38 @@ def test_reproduce_real_validation_reports_problems(tmp_path):
     np.save(d / "gin_embeddings.npy", np.zeros((2, 8), np.float32))
     probs = mod.validate_task(d, {})
     assert any("rows" in p for p in probs)
+
+
+def test_predict_concurrent_callers(mini_root):
+    """Two threads calling predict() on one pipeline concurrently must
+    produce the same outputs as serial calls — the BFS row cache is
+    shared, lock-guarded state (round 5); results must not interleave or
+    corrupt, and repeat calls must hit the cache (bfs_cache_miss == 0)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from subgnn_tpu.config import HParams, RunConfig
+    from subgnn_tpu.train.runner import SubGNNPipeline
+
+    rc = RunConfig(task="mini", project_root=mini_root)
+    hp = HParams(max_epochs=2, use_neighborhood=True, use_position=True,
+                 use_structure=True, max_sim_epochs=1, n_triangular_walks=2,
+                 random_walk_len=4, sample_walk_len=6, batch_size=4,
+                 n_layers=1, node_embed_size=8, linear_hidden_dim_1=8,
+                 linear_hidden_dim_2=8, n_anchor_patches_N_in=2,
+                 n_anchor_patches_N_out=2, n_anchor_patches_pos_in=3,
+                 n_anchor_patches_pos_out=3, n_anchor_patches_structure=2,
+                 seed=0)
+    pipe = SubGNNPipeline(rc, hp)
+    pipe.run(log_fn=None)
+
+    reqs = [[[1, 5, 9, 13], [2, 6, 10]],
+            [[30, 31, 32, 33], [7, 8]],
+            [[11, 12], [21, 22, 23]],
+            [[1, 5, 9, 13], [2, 6, 10]]]  # repeats req 0
+    pads = dict(max_n_cc=4, max_len_cc=4)
+    serial = [np.asarray(pipe.predict(r, **pads)["logits"]) for r in reqs]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        conc = list(ex.map(lambda r: pipe.predict(r, **pads), reqs))
+    for s, c in zip(serial, conc):
+        np.testing.assert_array_equal(s, np.asarray(c["logits"]))
+    # all rows were cached by the serial pass
+    assert all(r["timings"].get("bfs_cache_miss", 0) == 0 for r in conc)
