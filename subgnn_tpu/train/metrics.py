@@ -13,7 +13,16 @@ import numpy as np
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # numerically stable split form: exp only ever sees non-positive
+    # arguments, so large |logits| cannot overflow (same values as the
+    # naive form where that doesn't overflow)
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
 
 
 def _softmax(x):
