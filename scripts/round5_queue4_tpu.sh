@@ -18,8 +18,8 @@ t0=$(date +%s)
 # launch of this queue), giving the sampler no signal; the frozen
 # rehearsal needed 200 epochs to reach its 0.214
 python -u scripts/seed_avg_search.py -task hpo_neuro -property density \
-  -channels S -objective holdout -trials 6 -hpo_seeds 2 -race_margin 0.10 \
-  -finalists 2 -finalist_seeds 4 -tag rehearsal6e200 -platform tpu \
+  -channels S -objective holdout_f1auroc -trials 6 -hpo_seeds 2 -race_margin 0.10 \
+  -finalists 2 -finalist_seeds 4 -tag rehearsal6au -platform tpu \
   -search_epochs 200 -retest_epochs 200 -retest_seeds 10
 t1=$(date +%s)
 echo "FINAL {\"rehearsal\": \"hpo_neuro_multilabel_search6_tpu\", \"wall_s\": $((t1-t0))}"

@@ -58,7 +58,8 @@ def main():
     ap.add_argument("-retest_epochs", type=int, default=500)
     ap.add_argument("-retest_seeds", type=int, default=10)
     ap.add_argument("-objective", default="f1",
-                    choices=["f1", "f1_auroc", "holdout"],
+                    choices=["f1", "f1_auroc", "holdout",
+                             "holdout_f1auroc"],
                     help="per-seed trial score. f1: best-val micro_f1 (the "
                          "reference's monitor). f1_auroc: best over epochs "
                          "of mean(val_micro_f1, val_auroc) — de-saturates "
@@ -69,7 +70,12 @@ def main():
                          "estimating exactly the 10-seed protocol's "
                          "quantity; round 4 measured best-val saturating "
                          "at ~0.9 for EVERY channel subset while test "
-                         "ranged 0.49-0.88, so subset selection NEEDS this")
+                         "ranged 0.49-0.88, so subset selection NEEDS this. "
+                         "holdout_f1auroc: mean(holdout micro-F1, holdout "
+                         "AUROC) — for hard multilabel tasks where "
+                         "thresholded micro-F1 is 0.0 for most configs "
+                         "(measured: hpo_neuro stand-in at 200 epochs, "
+                         "round 5) AUROC carries the ranking signal")
     ap.add_argument("-finalists", type=int, default=0,
                     help="two-stage selection: re-score the top trials "
                          "(best per channel subset + global top-2, up to "
@@ -159,7 +165,7 @@ def main():
     rc = RunConfig(task=args.task, project_root=root)
 
     holdout = None
-    if args.objective == "holdout":
+    if args.objective.startswith("holdout"):
         from subgnn_tpu.data.subgraphs import read_subgraphs
         tr, *_ = read_subgraphs(task_dir / "subgraphs.pth")
         n_train = len(tr)
@@ -255,6 +261,10 @@ def main():
                 vals.append(float(out["best_monitor"]))
             elif args.objective == "holdout":
                 vals.append(float(out["holdout"]["holdout_micro_f1"]))
+            elif args.objective == "holdout_f1auroc":
+                h = out["holdout"]
+                vals.append((float(h["holdout_micro_f1"])
+                             + float(h["holdout_auroc"])) / 2)
             elif args.objective == "f1_auroc":
                 vals.append(max(
                     (m.get("val_micro_f1", 0.0) + m.get("val_auroc", 0.0)) / 2
