@@ -32,6 +32,7 @@ import argparse
 import json
 import sys
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -104,7 +105,30 @@ def degree_quantile_labels(scores: np.ndarray, n_classes: int) -> np.ndarray:
     return np.searchsorted(qs, scores)
 
 
-def write_task(task: str, out_dir: Path, graph_cache: dict):
+def internal_structure_scores(indptr, indices, subs):
+    """Per-subgraph INTERNAL structure: (density, mean internal degree,
+    max internal degree) of the induced subgraph. The degree-quantile
+    labels (default mode) turned out unlearnable for the S channel on
+    the hub-heavy hpo_neuro stand-in — every config collapsed to label
+    marginals (AUROC exactly 0.5, RESULTS.md round 5). These scores are
+    exactly what gamma_S's internal degree-sequence DTW reads, so
+    `-labels structure` produces a stand-in where model selection has
+    signal, not just the pipeline flow."""
+    dens, mean_d, max_d = [], [], []
+    for s in subs:
+        members = set(int(v) for v in s)
+        deg_in = np.array([sum(1 for u in indices[indptr[v]:indptr[v + 1]]
+                               if int(u) in members) for v in s])
+        k = len(s)
+        e_in = deg_in.sum() / 2
+        dens.append(e_in / (k * (k - 1) / 2) if k > 1 else 0.0)
+        mean_d.append(deg_in.mean())
+        max_d.append(deg_in.max())
+    return np.asarray(dens), np.asarray(mean_d), np.asarray(max_d)
+
+
+def write_task(task: str, out_dir: Path, graph_cache: dict,
+               label_mode: str = "degree"):
     cfg = STATS[task]
     rng = np.random.default_rng(cfg["seed"])
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -112,7 +136,12 @@ def write_task(task: str, out_dir: Path, graph_cache: dict):
 
     share = cfg.get("share_graph", task)
     if share not in graph_cache:
-        edges = ba_edges(cfg["n"], cfg["m_ba"], seed=hash(share) % 2**31)
+        # crc32, NOT hash(): str hash is salted per process, which made
+        # every session draw a DIFFERENT base graph — discovered round 5
+        # when the regenerated hpo_neuro scored 0.0 where round-4's draw
+        # scored 0.214 (RESULTS.md). Stand-ins are byte-stable from here.
+        edges = ba_edges(cfg["n"], cfg["m_ba"],
+                         seed=zlib.crc32(share.encode()) % 2**31)
         graph_cache[share] = edges
         print(f"[{task}] base graph: {cfg['n']} nodes "
               f"{len(edges)} edges ({time.time()-t0:.1f}s)", flush=True)
@@ -134,11 +163,18 @@ def write_task(task: str, out_dir: Path, graph_cache: dict):
     subs = [grow_subgraph(indptr, indices, rng, s) for s in sizes]
     mean_deg = np.array([(indptr[s + 1] - indptr[s]).mean() for s in subs])
 
-    if cfg["multilabel"]:
+    if label_mode == "structure":
+        dens, mean_in, max_in = internal_structure_scores(indptr, indices,
+                                                          subs)
+        prim = degree_quantile_labels(dens, cfg["classes"])
+        size_b = degree_quantile_labels(mean_in, cfg["classes"])
+        max_b = degree_quantile_labels(max_in.astype(float), cfg["classes"])
+    else:
         prim = degree_quantile_labels(mean_deg, cfg["classes"])
         size_b = degree_quantile_labels(sizes.astype(float), cfg["classes"])
         max_deg = np.array([(indptr[s + 1] - indptr[s]).max() for s in subs])
         max_b = degree_quantile_labels(max_deg.astype(float), cfg["classes"])
+    if cfg["multilabel"]:
         labels = []
         for i in range(cfg["n_sub"]):
             labs = {int(prim[i])}
@@ -148,7 +184,6 @@ def write_task(task: str, out_dir: Path, graph_cache: dict):
                 labs.add(int(max_b[i]))
             labels.append(sorted(labs))
     else:
-        prim = degree_quantile_labels(mean_deg, cfg["classes"])
         labels = [[int(p)] for p in prim]
 
     # splits 80/10/10; val one larger than test so the reader's val<test
@@ -169,6 +204,7 @@ def write_task(task: str, out_dir: Path, graph_cache: dict):
 
     (out_dir / "STANDIN.json").write_text(json.dumps({
         "standin": True,
+        "label_mode": label_mode,
         "note": "SYNTHETIC stand-in at the real dataset's published scale "
                 "(dress rehearsal for scripts/reproduce_real.py). Labels "
                 "are degree-quantile buckets; scores here do NOT estimate "
@@ -216,6 +252,18 @@ def main():
     ap.add_argument("-project_root", default="data")
     ap.add_argument("--emb", action="store_true")
     ap.add_argument("-emb_epochs", type=int, default=10)
+    ap.add_argument("-labels", default="degree",
+                    choices=["degree", "structure"],
+                    help="degree (default): quantile bins of subgraph "
+                         "nodes' AMBIENT degrees (round-4 behavior; "
+                         "measured unlearnable for the S channel on the "
+                         "hub-heavy hpo graph). structure: bins of the "
+                         "induced subgraph's INTERNAL density/degrees — "
+                         "what gamma_S actually reads, so selection has "
+                         "signal")
+    ap.add_argument("-suffix", default="",
+                    help="output dir suffix (e.g. _sl) so label variants "
+                         "do not clobber the default stand-ins")
     args = ap.parse_args()
     root = Path(args.project_root)
     graph_cache: dict = {}
@@ -223,9 +271,9 @@ def main():
     for task in args.tasks.split(","):
         task = task.strip()
         assert task in STATS, task
-        out = root / task
+        out = root / (task + args.suffix)
         if not (out / "subgraphs.pth").exists():
-            write_task(task, out, graph_cache)
+            write_task(task, out, graph_cache, label_mode=args.labels)
         if args.emb:
             train_embeddings(task, out, args.emb_epochs, emb_cache)
 
