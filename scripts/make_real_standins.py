@@ -115,10 +115,16 @@ def internal_structure_scores(indptr, indices, subs):
     `-labels structure` produces a stand-in where model selection has
     signal, not just the pipeline flow."""
     dens, mean_d, max_d = [], [], []
+    n = len(indptr) - 1
+    member = np.zeros(n, dtype=bool)
     for s in subs:
-        members = set(int(v) for v in s)
-        deg_in = np.array([sum(1 for u in indices[indptr[v]:indptr[v + 1]]
-                               if int(u) in members) for v in s])
+        member[s] = True
+        # boolean-mask membership (vectorized per neighbor list) — the
+        # per-element `int(u) in set` loop was ~100x slower on the
+        # hub-heavy hpo graph (~25M interpreter iterations)
+        deg_in = np.array([int(member[indices[indptr[v]:indptr[v + 1]]].sum())
+                           for v in s])
+        member[s] = False
         k = len(s)
         e_in = deg_in.sum() / 2
         dens.append(e_in / (k * (k - 1) / 2) if k > 1 else 0.0)
@@ -207,9 +213,13 @@ def write_task(task: str, out_dir: Path, graph_cache: dict,
         "label_mode": label_mode,
         "note": "SYNTHETIC stand-in at the real dataset's published scale "
                 "(dress rehearsal for scripts/reproduce_real.py). Labels "
-                "are degree-quantile buckets; scores here do NOT estimate "
-                "the paper's numbers — only the pipeline's behavior and "
-                "wall-clock at this scale.",
+                + ("are quantile bins of the induced subgraph's INTERNAL "
+                   "density/degrees (gamma_S-visible structure)"
+                   if label_mode == "structure" else
+                   "are quantile buckets of ambient node degrees")
+                + "; scores here do NOT estimate the paper's numbers — "
+                  "only the pipeline's behavior and wall-clock at this "
+                  "scale.",
         "generator": "scripts/make_real_standins.py",
         "stats": {k: (int(v) if isinstance(v, (int, np.integer)) else v)
                   for k, v in cfg.items()},
