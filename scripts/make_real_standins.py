@@ -231,7 +231,18 @@ def write_task(task: str, out_dir: Path, graph_cache: dict,
 
 
 def train_embeddings(task: str, out_dir: Path, emb_epochs: int,
-                     emb_cache: dict):
+                     emb_cache: dict, emb_conv: str = "auto"):
+    """Pretrain link-pred node embeddings for a stand-in.
+
+    emb_conv 'auto' picks gcn on dense graphs: GIN-sum aggregation
+    saturates at init when avg degree is large (measured round 5 on the
+    BA-m=222 hpo surrogate: 10-epoch GIN val_auc 0.500 with row norms
+    ~3400 vs gcn 0.717 with norms ~2; link-pred val AUC is the
+    reference's own pretrain selection criterion,
+    prepare_dataset/train_node_emb.py). Saved under the gin filename so
+    the frozen reference configs (embedding_type 'gin' in every
+    config_files/*_config.json) stay drop-in; the actual conv + val AUC
+    are recorded in STANDIN.json."""
     from subgnn_tpu.data.graph import CSRGraph
     from subgnn_tpu.prepare.node_emb import (train_node_embeddings,
                                              save_embeddings)
@@ -240,20 +251,31 @@ def train_embeddings(task: str, out_dir: Path, emb_epochs: int,
         return
     share = STATS[task].get("share_graph", task)
     if share in emb_cache:
-        emb = emb_cache[share]
+        emb, conv, val_auc = emb_cache[share]
     else:
         t0 = time.time()
         g = CSRGraph.from_edgelist(out_dir / "edge_list.txt")
+        conv = emb_conv
+        if conv == "auto":
+            avg_deg = len(g.indices) / g.n_nodes
+            conv = "gcn" if avg_deg > 64 else "gin"
         dim = 128 if task != "ppi_bp" else 64  # frozen configs' embed dims
         emb, metrics = train_node_embeddings(
-            g, conv_type="gin", out_dim=dim, epochs=emb_epochs,
+            g, conv_type=conv, out_dim=dim, epochs=emb_epochs,
             minibatch="graphsaint", batch_size=512, walk_length=16,
             num_steps=8, seed=0)
-        emb_cache[share] = emb
-        print(f"[{task}] embeddings {emb.shape} val_auc="
-              f"{metrics['val_auc']:.3f} ({time.time()-t0:.1f}s)",
+        val_auc = metrics["val_auc"]
+        emb_cache[share] = (emb, conv, val_auc)
+        print(f"[{task}] embeddings {emb.shape} conv={conv} "
+              f"val_auc={val_auc:.3f} ({time.time()-t0:.1f}s)",
               flush=True)
     save_embeddings(out_dir, emb, "gin")
+    sj = out_dir / "STANDIN.json"
+    if sj.exists():
+        meta = json.loads(sj.read_text())
+        meta["emb_conv"] = conv
+        meta["emb_val_auc"] = round(float(val_auc), 4)
+        sj.write_text(json.dumps(meta, indent=2))
 
 
 def main():
@@ -262,6 +284,10 @@ def main():
     ap.add_argument("-project_root", default="data")
     ap.add_argument("--emb", action="store_true")
     ap.add_argument("-emb_epochs", type=int, default=10)
+    ap.add_argument("-emb_conv", default="auto",
+                    choices=["auto", "gin", "gcn"],
+                    help="pretrain conv; auto = gcn when avg degree > 64 "
+                         "(GIN-sum saturates at init on dense graphs)")
     ap.add_argument("-labels", default="degree",
                     choices=["degree", "structure"],
                     help="degree (default): quantile bins of subgraph "
@@ -285,7 +311,8 @@ def main():
         if not (out / "subgraphs.pth").exists():
             write_task(task, out, graph_cache, label_mode=args.labels)
         if args.emb:
-            train_embeddings(task, out, args.emb_epochs, emb_cache)
+            train_embeddings(task, out, args.emb_epochs, emb_cache,
+                             emb_conv=args.emb_conv)
 
 
 if __name__ == "__main__":
