@@ -535,3 +535,37 @@ def test_chunked_spmm_matches_unchunked(density_dataset):
                             jax.tree_util.tree_leaves(ch_g)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-4, atol=1e-5)
+
+
+def test_standin_internal_structure_scores_match_naive():
+    """The vectorized boolean-mask membership in make_real_standins must
+    equal the naive per-element set-membership formulation (the labels it
+    produces are part of the stand-ins' byte-stability contract)."""
+    import importlib.util
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        "make_real_standins",
+        Path(__file__).resolve().parents[1] / "scripts"
+        / "make_real_standins.py")
+    mrs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mrs)
+    rng = np.random.default_rng(0)
+    n = 60
+    edges = np.array([(i, j) for i in range(n) for j in range(i + 1, n)
+                      if rng.random() < 0.2])
+    und = np.concatenate([edges, edges[:, ::-1]])
+    und = und[np.argsort(und[:, 0], kind="stable")]
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(und[:, 0], minlength=n), out=indptr[1:])
+    indices = und[:, 1]
+    subs = [rng.choice(n, size=k, replace=False) for k in (3, 7, 12, 5)]
+    dens, mean_d, max_d = mrs.internal_structure_scores(indptr, indices,
+                                                        subs)
+    for i, s in enumerate(subs):
+        members = set(int(v) for v in s)
+        deg_in = np.array([sum(1 for u in indices[indptr[v]:indptr[v + 1]]
+                               if int(u) in members) for v in s])
+        k = len(s)
+        assert dens[i] == (deg_in.sum() / 2) / (k * (k - 1) / 2)
+        assert mean_d[i] == deg_in.mean()
+        assert max_d[i] == deg_in.max()
