@@ -674,6 +674,21 @@ def train_node_embeddings(graph: CSRGraph, *, conv_type: str = "gin",
         metrics[f"{s}_acc"] = acc
         curves[s] = (truth, scores)
     metrics["final_loss"] = float(loss)
+    metrics["emb_norm_mean"] = float(
+        np.linalg.norm(emb_np, axis=1).mean())
+    # GIN's sum aggregation amplifies the init scale by ~avg-degree per
+    # layer; on dense graphs the sigmoid-dot link loss then saturates and
+    # nothing trains (val_auc stays at 0.5 with huge row norms — measured
+    # round 5 on a BA avg-degree-444 graph: norms ~3400, auc exactly
+    # 0.500, while gcn reached 0.717 in the same 10 epochs). Surface it.
+    if (conv_type == "gin" and metrics["val_auc"] < 0.55
+            and metrics["emb_norm_mean"] > 100.0):
+        import warnings
+        warnings.warn(
+            f"GIN pretrain looks saturated (val_auc="
+            f"{metrics['val_auc']:.3f}, mean row norm "
+            f"{metrics['emb_norm_mean']:.0f}); on dense graphs try "
+            "conv_type='gcn' or more epochs", RuntimeWarning)
     if plots_dir is not None:
         _save_plots(Path(plots_dir), conv_type, loss_history, curves)
     return emb_np, metrics
