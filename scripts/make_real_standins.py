@@ -255,15 +255,32 @@ def train_embeddings(task: str, out_dir: Path, emb_epochs: int,
     else:
         t0 = time.time()
         g = CSRGraph.from_edgelist(out_dir / "edge_list.txt")
-        conv = emb_conv
-        if conv == "auto":
-            avg_deg = len(g.indices) / g.n_nodes
-            conv = "gcn" if avg_deg > 64 else "gin"
         dim = 128 if task != "ppi_bp" else 64  # frozen configs' embed dims
-        emb, metrics = train_node_embeddings(
-            g, conv_type=conv, out_dim=dim, epochs=emb_epochs,
-            minibatch="graphsaint", batch_size=512, walk_length=16,
-            num_steps=8, seed=0)
+
+        def pretrain(conv):
+            return train_node_embeddings(
+                g, conv_type=conv, out_dim=dim, epochs=emb_epochs,
+                minibatch="graphsaint", batch_size=512, walk_length=16,
+                num_steps=8, seed=0)
+
+        if emb_conv == "auto":
+            # try gin first (the reference's shipped type), fall back to
+            # gcn if the link objective never left its saturated init —
+            # measured even at avg degree 37 (ppi stand-in: 10-epoch gin
+            # val_auc exactly 0.500, row norms ~205; the earlier
+            # degree>64 heuristic missed it). Selection by link-pred val
+            # AUC is the reference's own pretrain criterion.
+            conv = "gin"
+            emb, metrics = pretrain(conv)
+            if metrics["val_auc"] < 0.55:
+                print(f"[{task}] gin pretrain saturated "
+                      f"(val_auc={metrics['val_auc']:.3f}) — retrying gcn",
+                      flush=True)
+                conv = "gcn"
+                emb, metrics = pretrain(conv)
+        else:
+            conv = emb_conv
+            emb, metrics = pretrain(conv)
         val_auc = metrics["val_auc"]
         emb_cache[share] = (emb, conv, val_auc)
         print(f"[{task}] embeddings {emb.shape} conv={conv} "
